@@ -1,0 +1,198 @@
+"""Typed configuration for the AdaIN-VC TPU framework.
+
+Mirrors the hyperparameter surface of the reference `config.yaml`
+(reference: config.yaml:1-52) and the signal-processing constants of
+`preprocess/tacotron/hyperparams.py:23-34`, as one dataclass tree with YAML
+load/save. The YAML schema is kept byte-compatible with the reference's
+`config.yaml` so existing configs load unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import yaml
+
+
+@dataclass(frozen=True)
+class SpeakerEncoderConfig:
+    # reference: config.yaml:1-13
+    c_in: int = 512
+    c_h: int = 128
+    c_out: int = 128
+    kernel_size: int = 5
+    bank_size: int = 8
+    bank_scale: int = 1
+    c_bank: int = 128
+    n_conv_blocks: int = 6
+    n_dense_blocks: int = 6
+    subsample: Sequence[int] = (1, 2, 1, 2, 1, 2)
+    act: str = "relu"
+    dropout_rate: float = 0.0
+
+
+@dataclass(frozen=True)
+class ContentEncoderConfig:
+    # reference: config.yaml:14-25
+    c_in: int = 512
+    c_h: int = 128
+    c_out: int = 128
+    kernel_size: int = 5
+    bank_size: int = 8
+    bank_scale: int = 1
+    c_bank: int = 128
+    n_conv_blocks: int = 6
+    subsample: Sequence[int] = (1, 2, 1, 2, 1, 2)
+    act: str = "relu"
+    dropout_rate: float = 0.0
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    # reference: config.yaml:26-36
+    c_in: int = 128
+    c_cond: int = 128
+    c_h: int = 128
+    c_out: int = 512
+    kernel_size: int = 5
+    n_conv_blocks: int = 6
+    upsample: Sequence[int] = (2, 1, 2, 1, 2, 1)
+    act: str = "relu"
+    sn: bool = False
+    dropout_rate: float = 0.0
+
+
+@dataclass(frozen=True)
+class DataLoaderConfig:
+    # reference: config.yaml:37-41
+    segment_size: int = 128
+    frame_size: int = 1
+    batch_size: int = 128
+    shuffle: bool = True
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    # reference: config.yaml:42-48 (torch.optim.Adam semantics: weight_decay
+    # is L2-into-grad, applied after grad clipping — solver.py:75-77,91-93)
+    lr: float = 5e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    amsgrad: bool = True
+    weight_decay: float = 1e-4
+    grad_norm: float = 5.0
+
+
+@dataclass(frozen=True)
+class LambdaConfig:
+    # reference: config.yaml:49-52
+    lambda_rec: float = 10.0
+    lambda_kl: float = 1.0
+
+
+@dataclass(frozen=True)
+class SignalConfig:
+    """Signal constants (reference: preprocess/tacotron/hyperparams.py:20-34)."""
+
+    sr: int = 24000
+    n_fft: int = 2048
+    hop_length: int = 300  # int(sr * 0.0125)
+    win_length: int = 1200  # int(sr * 0.05)
+    n_mels: int = 512
+    n_iter: int = 100  # Griffin-Lim iterations
+    preemphasis: float = 0.97
+    max_db: float = 100.0
+    ref_db: float = 20.0
+    top_db: float = 15.0
+
+
+@dataclass(frozen=True)
+class AEConfig:
+    speaker_encoder: SpeakerEncoderConfig = field(default_factory=SpeakerEncoderConfig)
+    content_encoder: ContentEncoderConfig = field(default_factory=ContentEncoderConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    model: AEConfig = field(default_factory=AEConfig)
+    data_loader: DataLoaderConfig = field(default_factory=DataLoaderConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    loss: LambdaConfig = field(default_factory=LambdaConfig)
+    annealing_iters: int = 20000  # reference: config.yaml:52
+    signal: SignalConfig = field(default_factory=SignalConfig)
+    # TPU-native knobs (no reference counterpart)
+    compute_dtype: str = "float32"  # "bfloat16" for mixed-precision training
+
+
+def _filter_kwargs(cls, d: dict) -> dict:
+    names = {f.name for f in dataclasses.fields(cls)}
+    out = {k: v for k, v in d.items() if k in names}
+    for k, v in out.items():
+        if isinstance(v, list):
+            out[k] = tuple(v)
+    return out
+
+
+def config_from_dict(raw: dict) -> TrainConfig:
+    """Build a TrainConfig from a reference-format config dict.
+
+    Accepts the exact YAML schema of the reference `config.yaml:1-52`
+    (top-level keys SpeakerEncoder / ContentEncoder / Decoder / data_loader /
+    optimizer / lambda / annealing_iters).
+    """
+    model = AEConfig(
+        speaker_encoder=SpeakerEncoderConfig(
+            **_filter_kwargs(SpeakerEncoderConfig, raw.get("SpeakerEncoder", {}))
+        ),
+        content_encoder=ContentEncoderConfig(
+            **_filter_kwargs(ContentEncoderConfig, raw.get("ContentEncoder", {}))
+        ),
+        decoder=DecoderConfig(**_filter_kwargs(DecoderConfig, raw.get("Decoder", {}))),
+    )
+    return TrainConfig(
+        model=model,
+        data_loader=DataLoaderConfig(
+            **_filter_kwargs(DataLoaderConfig, raw.get("data_loader", {}))
+        ),
+        optimizer=OptimizerConfig(
+            **_filter_kwargs(OptimizerConfig, raw.get("optimizer", {}))
+        ),
+        loss=LambdaConfig(**_filter_kwargs(LambdaConfig, raw.get("lambda", {}))),
+        annealing_iters=int(raw.get("annealing_iters", 20000)),
+        signal=SignalConfig(**_filter_kwargs(SignalConfig, raw.get("signal", {}))),
+        compute_dtype=str(raw.get("compute_dtype", "float32")),
+    )
+
+
+def config_to_dict(cfg: TrainConfig) -> dict:
+    """Dump back to the reference-compatible YAML schema."""
+
+    def asdict(dc):
+        d = dataclasses.asdict(dc)
+        return {k: (list(v) if isinstance(v, tuple) else v) for k, v in d.items()}
+
+    return {
+        "SpeakerEncoder": asdict(cfg.model.speaker_encoder),
+        "ContentEncoder": asdict(cfg.model.content_encoder),
+        "Decoder": asdict(cfg.model.decoder),
+        "data_loader": asdict(cfg.data_loader),
+        "optimizer": asdict(cfg.optimizer),
+        "lambda": asdict(cfg.loss),
+        "annealing_iters": cfg.annealing_iters,
+        "signal": asdict(cfg.signal),
+        "compute_dtype": cfg.compute_dtype,
+    }
+
+
+def load_config(path: str) -> TrainConfig:
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return config_from_dict(raw or {})
+
+
+def save_config(cfg: TrainConfig, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(config_to_dict(cfg), f, sort_keys=False)

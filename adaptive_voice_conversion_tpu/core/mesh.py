@@ -1,0 +1,88 @@
+"""Device mesh and sharding utilities.
+
+The reference's entire "distributed backend" is a single `.to('cuda')` call
+(reference: utils.py:8-10). Here the equivalent is a `jax.sharding.Mesh`:
+the AdaIN-VC model (~15M params) is replicated; the batch axis is sharded
+over the ``data`` mesh axis, so gradient reduction is an XLA ``psum``
+riding ICI. Multi-host pods add a DCN-crossing outer data axis via
+`jax.distributed.initialize`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a ('data', 'model') mesh.
+
+    ``n_model`` > 1 enables tensor-parallel channel sharding of the conv
+    stacks (useful only for much larger variants of the model; the default
+    config replicates the model and uses pure DP).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model != len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} does not cover {len(devices)} devices"
+        )
+    dev_array = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the multi-host JAX runtime (one process per host).
+
+    On TPU pods with the standard environment variables set this is a bare
+    `jax.distributed.initialize()`; arguments are for manual/CPU setups.
+    No-op if already initialized.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        # already initialized (or single-process run) — fine either way
+        pass
+
+
+def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
+    """Per-host share of the global batch for the host data loader."""
+    n_data = mesh.shape[DATA_AXIS]
+    if global_batch_size % n_data != 0:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by data axis {n_data}"
+        )
+    per_device = global_batch_size // n_data
+    local_devices = len(
+        [d for d in mesh.devices.flat if d.process_index == jax.process_index()]
+    )
+    return per_device * max(local_devices, 1)

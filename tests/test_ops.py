@@ -1,0 +1,174 @@
+"""Op-level parity tests vs PyTorch functional ops.
+
+Each op must reproduce the exact torch semantics the reference relies on
+(SURVEY.md §7 "fidelity traps"): reflect-pad asymmetry for even kernels,
+InstanceNorm1d eps/axis, pixel_shuffle_1d interleave, ceil-mode avg pooling,
+nearest upsampling. Oracles are plain torch.nn.functional calls — layouts are
+converted at the test boundary (torch (B,C,T) <-> ours (B,T,C)).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from adaptive_voice_conversion_tpu.ops import (
+    adain,
+    avg_pool_time_ceil,
+    conv1d,
+    conv_bank,
+    instance_norm_time,
+    pixel_shuffle_time,
+    reflect_pad_time,
+    upsample_nearest_time,
+    global_avg_pool_time,
+)
+from adaptive_voice_conversion_tpu.ops.padding import conv_pad_amounts
+
+RNG = np.random.default_rng(0)
+
+
+def t_nct(x_ntc):
+    """ours (B,T,C) -> torch (B,C,T)"""
+    return torch.from_numpy(np.asarray(x_ntc)).transpose(1, 2).contiguous()
+
+
+def to_ntc(x_torch):
+    return x_torch.detach().numpy().transpose(0, 2, 1)
+
+
+def torch_pad_conv(x_nct, w_oik, b, stride=1):
+    """Reference pad_layer semantics (model.py:21-32) with F.conv1d."""
+    k = w_oik.shape[-1]
+    if k % 2 == 0:
+        pad = (k // 2, k // 2 - 1)
+    else:
+        pad = (k // 2, k // 2)
+    xp = F.pad(x_nct, pad, mode="reflect") if max(pad) > 0 else x_nct
+    return F.conv1d(xp, w_oik, b, stride=stride)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4, 5, 7, 8])
+def test_conv_pad_amounts(k):
+    l, r = conv_pad_amounts(k)
+    if k % 2 == 0:
+        assert (l, r) == (k // 2, k // 2 - 1)
+    else:
+        assert (l, r) == (k // 2, k // 2)
+
+
+def test_reflect_pad_matches_torch():
+    x = RNG.standard_normal((2, 16, 4)).astype(np.float32)
+    ours = reflect_pad_time(jnp.asarray(x), 4, 3)
+    theirs = F.pad(t_nct(x), (4, 3), mode="reflect")
+    np.testing.assert_allclose(np.asarray(ours), to_ntc(theirs), atol=1e-6)
+
+
+@pytest.mark.parametrize("k,stride", [(1, 1), (2, 1), (5, 1), (5, 2), (8, 1), (4, 2)])
+def test_conv1d_matches_torch(k, stride):
+    b, t, ci, co = 2, 24, 6, 5
+    x = RNG.standard_normal((b, t, ci)).astype(np.float32)
+    w = RNG.standard_normal((k, ci, co)).astype(np.float32) * 0.1
+    bias = RNG.standard_normal((co,)).astype(np.float32)
+    ours = conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias), stride=stride)
+    w_t = torch.from_numpy(w.transpose(2, 1, 0).copy())
+    theirs = torch_pad_conv(t_nct(x), w_t, torch.from_numpy(bias), stride=stride)
+    np.testing.assert_allclose(np.asarray(ours), to_ntc(theirs), atol=1e-4)
+
+
+def test_instance_norm_matches_torch():
+    x = RNG.standard_normal((3, 17, 8)).astype(np.float32) * 3 + 1
+    ours = instance_norm_time(jnp.asarray(x))
+    theirs = F.instance_norm(t_nct(x), eps=1e-5)
+    np.testing.assert_allclose(np.asarray(ours), to_ntc(theirs), atol=1e-5)
+
+
+def test_adain_matches_torch_append_cond():
+    b, t, c = 2, 9, 4
+    x = RNG.standard_normal((b, t, c)).astype(np.float32)
+    cond = RNG.standard_normal((b, 2 * c)).astype(np.float32)
+    ours = adain(jnp.asarray(x), jnp.asarray(cond))
+    # append_cond (model.py:77-83): x * std.unsqueeze(2) + mean.unsqueeze(2)
+    xt = t_nct(x)
+    ct = torch.from_numpy(cond)
+    mean, std = ct[:, :c], ct[:, c:]
+    theirs = xt * std.unsqueeze(2) + mean.unsqueeze(2)
+    np.testing.assert_allclose(np.asarray(ours), to_ntc(theirs), atol=1e-6)
+
+
+@pytest.mark.parametrize("scale", [2, 3])
+def test_pixel_shuffle_matches_torch(scale):
+    b, t, c = 2, 7, 4
+    x = RNG.standard_normal((b, t, c * scale)).astype(np.float32)
+    ours = pixel_shuffle_time(jnp.asarray(x), scale)
+    # pixel_shuffle_1d semantics (model.py:52-59)
+    xt = t_nct(x)  # (B, C*r, T)
+    v = xt.view(b, c, scale, t).permute(0, 1, 3, 2).contiguous().view(b, c, t * scale)
+    np.testing.assert_allclose(np.asarray(ours), to_ntc(v), atol=1e-6)
+
+
+@pytest.mark.parametrize("t,k", [(128, 2), (7, 2), (5, 2), (9, 4), (16, 2)])
+def test_avg_pool_ceil_matches_torch(t, k):
+    x = RNG.standard_normal((2, t, 3)).astype(np.float32)
+    ours = avg_pool_time_ceil(jnp.asarray(x), k)
+    theirs = F.avg_pool1d(t_nct(x), kernel_size=k, ceil_mode=True)
+    np.testing.assert_allclose(np.asarray(ours), to_ntc(theirs), atol=1e-6)
+
+
+@pytest.mark.parametrize("scale", [2, 3])
+def test_upsample_nearest_matches_torch(scale):
+    x = RNG.standard_normal((2, 6, 3)).astype(np.float32)
+    ours = upsample_nearest_time(jnp.asarray(x), scale)
+    theirs = F.interpolate(t_nct(x), scale_factor=scale, mode="nearest")
+    np.testing.assert_allclose(np.asarray(ours), to_ntc(theirs), atol=1e-6)
+
+
+def test_global_avg_pool_matches_adaptive():
+    x = RNG.standard_normal((2, 13, 5)).astype(np.float32)
+    ours = global_avg_pool_time(jnp.asarray(x))
+    theirs = F.adaptive_avg_pool1d(t_nct(x), 1).squeeze(2)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-6)
+
+
+def test_fused_conv_bank_matches_per_kernel_torch():
+    """The single fused K=8 conv must equal 8 separate torch convs + concat
+    (reference conv_bank, model.py:85-91)."""
+    b, t, ci, cb = 2, 32, 8, 4
+    kernel_sizes = list(range(1, 9))
+    x = RNG.standard_normal((b, t, ci)).astype(np.float32)
+    ws = [RNG.standard_normal((k, ci, cb)).astype(np.float32) * 0.2 for k in kernel_sizes]
+    bs = [RNG.standard_normal((cb,)).astype(np.float32) for _ in kernel_sizes]
+
+    ours = conv_bank(
+        jnp.asarray(x), [jnp.asarray(w) for w in ws], [jnp.asarray(v) for v in bs],
+        kernel_sizes, jnp.maximum if False else (lambda y: jnp.maximum(y, 0)),
+    )
+
+    xt = t_nct(x)
+    outs = []
+    for w, bias, k in zip(ws, bs, kernel_sizes):
+        w_t = torch.from_numpy(w.transpose(2, 1, 0).copy())
+        outs.append(torch.relu(torch_pad_conv(xt, w_t, torch.from_numpy(bias))))
+    theirs = torch.cat(outs + [xt], dim=1)
+    np.testing.assert_allclose(np.asarray(ours), to_ntc(theirs), atol=1e-4)
+
+
+def test_fused_conv_bank_with_scale_2():
+    """bank_scale=2 => kernels 2,4,6,8 only (model.py:223-225)."""
+    b, t, ci, cb = 1, 16, 4, 3
+    kernel_sizes = [2, 4, 6, 8]
+    x = RNG.standard_normal((b, t, ci)).astype(np.float32)
+    ws = [RNG.standard_normal((k, ci, cb)).astype(np.float32) for k in kernel_sizes]
+    bs = [np.zeros((cb,), np.float32) for _ in kernel_sizes]
+    ours = conv_bank(
+        jnp.asarray(x), [jnp.asarray(w) for w in ws], [jnp.asarray(v) for v in bs],
+        kernel_sizes, lambda y: jnp.maximum(y, 0),
+    )
+    xt = t_nct(x)
+    outs = []
+    for w, bias, k in zip(ws, bs, kernel_sizes):
+        w_t = torch.from_numpy(w.transpose(2, 1, 0).copy())
+        outs.append(torch.relu(torch_pad_conv(xt, w_t, torch.from_numpy(bias))))
+    theirs = torch.cat(outs + [xt], dim=1)
+    np.testing.assert_allclose(np.asarray(ours), to_ntc(theirs), atol=1e-4)
