@@ -1,0 +1,83 @@
+"""Audio IO and time-domain utilities (librosa-free).
+
+Covers what the reference gets from librosa/scipy: wav load with resampling
+(librosa.load), silence trim (librosa.effects.trim — reference:
+preprocess/tacotron/utils.py:57,109), preemphasis (utils.py:60) and
+de-preemphasis (scipy lfilter — utils.py:106).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import signal
+from scipy.io import wavfile
+
+
+def load_wav(path: str, sr: int) -> np.ndarray:
+    """Read a wav file as mono float32 in [-1, 1], resampled to ``sr``."""
+    in_sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        y = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        y = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        y = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        y = data.astype(np.float32)
+    if y.ndim == 2:
+        y = y.mean(axis=1)
+    if in_sr != sr:
+        g = np.gcd(int(in_sr), int(sr))
+        y = signal.resample_poly(y, sr // g, in_sr // g).astype(np.float32)
+    return y
+
+
+def save_wav(path: str, y: np.ndarray, sr: int) -> None:
+    """Write float32 wav (same as the reference's scipy write —
+    inference.py:82-84 writes the float array directly)."""
+    wavfile.write(path, sr, y.astype(np.float32))
+
+
+def _frame_rms(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
+    """Centered per-frame RMS (librosa.feature.rms semantics: constant pad)."""
+    pad = frame_length // 2
+    yp = np.pad(y.astype(np.float64), pad, mode="constant")
+    n_frames = 1 + (len(yp) - frame_length) // hop_length
+    idx = (
+        np.arange(frame_length)[None, :]
+        + hop_length * np.arange(n_frames)[:, None]
+    )
+    frames = yp[idx]
+    return np.sqrt(np.mean(frames**2, axis=1))
+
+
+def trim_silence(
+    y: np.ndarray,
+    top_db: float,
+    frame_length: int = 2048,
+    hop_length: int = 512,
+):
+    """librosa.effects.trim: drop leading/trailing frames quieter than
+    ``top_db`` dB below the peak RMS. Returns (trimmed, (start, end))."""
+    rms = _frame_rms(y, frame_length, hop_length)
+    power = rms**2
+    ref = power.max()
+    if ref <= 0:
+        return y, (0, len(y))
+    db = 10.0 * np.log10(np.maximum(power, 1e-20) / ref)
+    nonsilent = np.flatnonzero(db > -top_db)
+    if len(nonsilent) == 0:
+        return y[0:0], (0, 0)
+    start = int(nonsilent[0] * hop_length)
+    end = min(len(y), int((nonsilent[-1] + 1) * hop_length))
+    return y[start:end], (start, end)
+
+
+def preemphasis(y: np.ndarray, coef: float) -> np.ndarray:
+    """y'[0]=y[0]; y'[t] = y[t] - coef*y[t-1] (reference: utils.py:60)."""
+    return np.append(y[0], y[1:] - coef * y[:-1]).astype(y.dtype)
+
+
+def deemphasis(y: np.ndarray, coef: float) -> np.ndarray:
+    """Inverse filter lfilter([1], [1, -coef]) (reference: utils.py:106)."""
+    return signal.lfilter([1.0], [1.0, -coef], y)

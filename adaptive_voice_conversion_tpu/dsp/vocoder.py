@@ -1,0 +1,117 @@
+"""Griffin-Lim vocoder: normalized mel -> waveform.
+
+Reference chain (preprocess/tacotron/utils.py:89-111,136-155): denormalize
+dB -> amplitude 10^(x*0.05) -> mel->linear regularized pseudo-inverse ->
+100 iterations of ISTFT/STFT phase projection -> de-preemphasis -> trim.
+
+Two implementations behind one API:
+- numpy oracle (CPU, matches the reference arithmetically)
+- jitted JAX version with a ``lax.fori_loop`` over batched FFT ops — the
+  TPU serving path; supports a batch dimension for conversion grids.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import SignalConfig
+from .audio import deemphasis, trim_silence
+from .mel import mel_to_linear_matrix
+from .stft import istft_jax, istft_np, stft_jax, stft_np
+
+DEFAULT_SIGNAL = SignalConfig()
+
+
+def mel_to_mag(mel_tm: np.ndarray, cfg: SignalConfig = DEFAULT_SIGNAL) -> np.ndarray:
+    """Normalized mel (T, n_mels) -> linear magnitude (n_freq, T)."""
+    mel = mel_tm.T
+    mel = (np.clip(mel, 0.0, 1.0) * cfg.max_db) - cfg.max_db + cfg.ref_db
+    mel = np.power(10.0, mel * 0.05)
+    m = mel_to_linear_matrix(cfg.sr, cfg.n_fft, cfg.n_mels)
+    return np.dot(m, mel)
+
+
+def griffin_lim_np(
+    mag: np.ndarray, cfg: SignalConfig = DEFAULT_SIGNAL, n_iter: Optional[int] = None
+) -> np.ndarray:
+    """Magnitude (n_freq, T) -> waveform via iterative phase projection."""
+    n_iter = cfg.n_iter if n_iter is None else n_iter
+    X = mag.astype(np.complex128)
+    for _ in range(n_iter):
+        x_t = istft_np(X, cfg.n_fft, cfg.hop_length, cfg.win_length)
+        est = stft_np(x_t, cfg.n_fft, cfg.hop_length, cfg.win_length)
+        # est frames may differ by edge effects only if lengths changed; they
+        # don't: istft->stft is length-stable here (hop*(T-1) samples in,
+        # same frame count out with center padding).
+        phase = est / np.maximum(1e-8, np.abs(est))
+        X = mag * phase[: mag.shape[0], : mag.shape[1]]
+    return np.real(istft_np(X, cfg.n_fft, cfg.hop_length, cfg.win_length)).astype(
+        np.float32
+    )
+
+
+def melspectrogram2wav(
+    mel_tm: np.ndarray, cfg: SignalConfig = DEFAULT_SIGNAL
+) -> np.ndarray:
+    """Drop-in equivalent of the reference ``melspectrogram2wav``
+    (preprocess/tacotron/utils.py:89-111). mel is (T, n_mels) normalized."""
+    mag = mel_to_mag(mel_tm, cfg)
+    wav = griffin_lim_np(mag, cfg)
+    wav = deemphasis(wav, cfg.preemphasis)
+    wav, _ = trim_silence(wav, top_db=60.0)
+    return wav.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# JAX serving path
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "n_iter"))
+def _griffin_lim_core(
+    mag: jnp.ndarray, n_fft: int, hop_length: int, win_length: int, n_iter: int
+) -> jnp.ndarray:
+    """mag: (..., n_freq, T) float32 -> wav (..., hop*(T-1)) float32."""
+
+    def body(_, X):
+        x_t = istft_jax(X, n_fft, hop_length, win_length)
+        est = stft_jax(x_t, n_fft, hop_length, win_length)
+        phase = est / jnp.maximum(1e-8, jnp.abs(est))
+        return (mag * phase).astype(jnp.complex64)
+
+    X = jax.lax.fori_loop(0, n_iter, body, mag.astype(jnp.complex64))
+    return jnp.real(istft_jax(X, n_fft, hop_length, win_length)).astype(jnp.float32)
+
+
+def griffin_lim_jax(
+    mag: jnp.ndarray, cfg: SignalConfig = DEFAULT_SIGNAL, n_iter: Optional[int] = None
+) -> jnp.ndarray:
+    """Batched on-TPU Griffin-Lim. mag: (..., n_freq, T)."""
+    n_iter = cfg.n_iter if n_iter is None else n_iter
+    return _griffin_lim_core(mag, cfg.n_fft, cfg.hop_length, cfg.win_length, n_iter)
+
+
+def mel_to_mag_jax(mel_tm: jnp.ndarray, cfg: SignalConfig = DEFAULT_SIGNAL) -> jnp.ndarray:
+    """Normalized mel (..., T, n_mels) -> magnitude (..., n_freq, T)."""
+    mel = jnp.swapaxes(mel_tm, -1, -2)
+    mel = (jnp.clip(mel, 0.0, 1.0) * cfg.max_db) - cfg.max_db + cfg.ref_db
+    mel = jnp.power(10.0, mel * 0.05)
+    m = jnp.asarray(mel_to_linear_matrix(cfg.sr, cfg.n_fft, cfg.n_mels))
+    return jnp.einsum("fm,...mt->...ft", m, mel, preferred_element_type=jnp.float32)
+
+
+def melspectrogram2wav_jax(
+    mel_tm: jnp.ndarray, cfg: SignalConfig = DEFAULT_SIGNAL
+) -> np.ndarray:
+    """On-TPU vocoder path (Griffin-Lim on device, trim on host)."""
+    mag = mel_to_mag_jax(mel_tm, cfg)
+    wav = np.asarray(griffin_lim_jax(mag, cfg))
+    wav = deemphasis(wav, cfg.preemphasis)
+    if wav.ndim == 1:
+        wav, _ = trim_silence(wav, top_db=60.0)
+    return wav.astype(np.float32)
