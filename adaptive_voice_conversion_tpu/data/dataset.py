@@ -1,0 +1,97 @@
+"""Segment dataset over the reference's preprocess artifacts.
+
+Consumes the exact artifact formats the reference produces (so its
+preprocessing output is drop-in): a pickle dict ``{utt_id: (T, n_mels)
+float32}`` and a JSON index of ``[utt_id, t]`` pairs
+(reference: data_utils.py:43-57, preprocess/sample_single_segments.py:30-33).
+
+TPU-first re-design of the loading path: instead of a dict of ragged arrays
+sliced per item in 4 worker processes (reference: data_utils.py:51-54,
+solver.py:66), all utterances are packed into ONE contiguous float32 array at
+load; a whole batch of segments is then a single vectorized fancy-index
+gather — fast enough on one host thread to feed a TPU, no worker processes.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def make_frames(batch: np.ndarray, frame_size: int) -> np.ndarray:
+    """(B, T, n_mels) -> (B, T/frame_size, frame_size*n_mels).
+
+    Channels-last equivalent of the reference CollateFn.make_frames
+    (data_utils.py:14-17); identity for the shipped frame_size=1
+    (config.yaml:39).
+    """
+    if frame_size == 1:
+        return batch
+    b, t, c = batch.shape
+    return batch.reshape(b, t // frame_size, frame_size * c)
+
+
+class SegmentDataset:
+    """Random 128-frame segments from packed utterances."""
+
+    def __init__(
+        self,
+        pickle_path: str,
+        index_path: str,
+        segment_size: int,
+    ):
+        with open(pickle_path, "rb") as f:
+            data: dict = pickle.load(f)
+        with open(index_path) as f:
+            indexes: Sequence = json.load(f)
+        self.segment_size = segment_size
+
+        utt_ids = list(data.keys())
+        id_to_row = {u: i for i, u in enumerate(utt_ids)}
+        lengths = np.array([data[u].shape[0] for u in utt_ids], dtype=np.int64)
+        offsets = np.zeros(len(utt_ids) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        n_mels = data[utt_ids[0]].shape[1] if utt_ids else 0
+        packed = np.empty((int(offsets[-1]), n_mels), dtype=np.float32)
+        for u, i in id_to_row.items():
+            packed[offsets[i] : offsets[i + 1]] = data[u]
+        self.packed = packed
+        self.utt_ids = utt_ids
+        self.n_mels = n_mels
+
+        # absolute start row of every indexed segment
+        rows = np.array([id_to_row[u] for u, _ in indexes], dtype=np.int64)
+        ts = np.array([t for _, t in indexes], dtype=np.int64)
+        self.starts = offsets[rows] + ts
+
+    def __len__(self) -> int:
+        return len(self.starts)
+
+    def gather(self, idx: np.ndarray) -> np.ndarray:
+        """Segment batch for index positions ``idx``: (len(idx), seg, n_mels)."""
+        rows = self.starts[idx][:, None] + np.arange(self.segment_size)[None, :]
+        return self.packed[rows]
+
+    def get_utterance(self, utt_id: str) -> np.ndarray:
+        i = self.utt_ids.index(utt_id)
+        # reconstruct slice bounds from starts is not possible; keep simple:
+        raise NotImplementedError("use the pickle directly for full utterances")
+
+
+class EvalSegmentSampler:
+    """Deterministic segment batches from a test pickle (in_test/out_test) —
+    the reference produces these splits but never consumes them
+    (SURVEY.md §4); here they back a validation-loss metric."""
+
+    def __init__(self, dataset: SegmentDataset, batch_size: int, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        n = (len(dataset) // batch_size) * batch_size
+        self.order = rng.permutation(len(dataset))[:n].reshape(-1, batch_size)
+        self.dataset = dataset
+
+    def __iter__(self):
+        for batch_idx in self.order:
+            yield self.dataset.gather(batch_idx)

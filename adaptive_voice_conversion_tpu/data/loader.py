@@ -1,0 +1,82 @@
+"""Batch iteration with deterministic resume and multi-host sharding.
+
+Replaces the reference's torch DataLoader + infinite_iter
+(data_utils.py:24-28, utils.py:28-35) with a seeded, stateless-resumable
+epoch permutation: batch ``step`` is a pure function of (seed, step), so a
+restarted job continues exactly where it left off (SURVEY.md §5 failure
+recovery). For multi-host DP each process takes a disjoint slice of every
+global batch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .dataset import SegmentDataset, make_frames
+
+
+def _epoch_perm(n: int, seed: int, epoch: int, shuffle: bool) -> np.ndarray:
+    if not shuffle:
+        return np.arange(n)
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    return rng.permutation(n)
+
+
+def batch_iterator(
+    dataset: SegmentDataset,
+    batch_size: int,
+    *,
+    frame_size: int = 1,
+    shuffle: bool = True,
+    seed: int = 0,
+    start_step: int = 0,
+    host_index: int = 0,
+    host_count: int = 1,
+) -> Iterator[np.ndarray]:
+    """Yield (local_batch, T/frame, frame*n_mels) float32 batches forever.
+
+    ``batch_size`` is the GLOBAL batch; each host yields its
+    ``batch_size // host_count`` slice. Resume by passing the step counter.
+    """
+    if batch_size % host_count:
+        raise ValueError("global batch not divisible by host count")
+    local = batch_size // host_count
+    lo, hi = host_index * local, (host_index + 1) * local
+    n = len(dataset)
+    per_epoch = n // batch_size
+    if per_epoch == 0:
+        raise ValueError("dataset smaller than one batch")
+    step = start_step
+    while True:
+        epoch, pos = divmod(step, per_epoch)
+        perm = _epoch_perm(n, seed, epoch, shuffle)
+        while pos < per_epoch:
+            idx = perm[pos * batch_size : (pos + 1) * batch_size][lo:hi]
+            yield make_frames(dataset.gather(idx), frame_size)
+            pos += 1
+            step += 1
+
+
+def device_prefetch(it: Iterator[np.ndarray], put_fn, depth: int = 2):
+    """Run host gathering in a thread and ``put_fn`` (device_put) ahead of
+    consumption — overlaps the host data path with TPU steps."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def producer():
+        for item in it:
+            if stop.is_set():
+                return
+            q.put(put_fn(item))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()

@@ -50,13 +50,16 @@ def conv1d(
     if compute_dtype is not None:
         xp = xp.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    # bf16 path: keep outputs bf16 (MXU accumulates f32 internally); an f32
+    # preferred_element_type here would make the VJP's transposed conv mix
+    # f32 cotangents with bf16 weights and fail to trace.
     out = lax.conv_general_dilated(
         xp,
         w,
         window_strides=(stride,),
         padding="VALID",
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype if compute_dtype is not None else jnp.float32,
     )
     if b is not None:
         out = out + b.astype(out.dtype)
@@ -73,7 +76,10 @@ def dense(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    out = jnp.dot(
+        x, w,
+        preferred_element_type=compute_dtype if compute_dtype is not None else jnp.float32,
+    )
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
@@ -125,7 +131,7 @@ def conv_bank(
         window_strides=(1,),
         padding="VALID",
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype if compute_dtype is not None else jnp.float32,
     )
     out = act(out + b.astype(out.dtype))
     return jnp.concatenate([out, x.astype(out.dtype)], axis=-1)

@@ -1,0 +1,85 @@
+"""Optimizer chain matching the reference's torch Adam semantics.
+
+Reference (solver.py:74-77,89-93): grads are clipped by global norm 5 FIRST
+(clip_grad_norm_ before opt.step), then torch Adam applies weight_decay as
+L2-into-grad (grad += wd * param) before the (amsgrad) moment updates.
+The optax chain reproduces that exact order:
+
+    clip_by_global_norm(grad_norm) -> add_decayed_weights(wd) -> amsgrad(lr)
+
+(Decoupled AdamW would be WRONG here — torch Adam's weight_decay feeds the
+moments.) The KL anneal schedule (solver.py:101-104) is a pure function of
+the iteration, passed into the jitted step as a scalar.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import OptimizerConfig
+
+
+class ScaleByTorchAmsgradState(NamedTuple):
+    count: chex.Array
+    mu: chex.Array
+    nu: chex.Array
+    nu_max: chex.Array
+
+
+def scale_by_torch_amsgrad(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """AMSGrad with torch.optim.Adam(amsgrad=True) semantics.
+
+    torch maxes the RAW second moment (max_exp_avg_sq = max(prev, nu)) and
+    bias-corrects with the CURRENT step's (1 - b2^t); optax's built-in
+    amsgrad maxes the bias-corrected moments, which diverges after step 1.
+    """
+
+    def init_fn(params):
+        z = lambda: jax.tree.map(jnp.zeros_like, params)
+        return ScaleByTorchAmsgradState(
+            count=jnp.zeros([], jnp.int32), mu=z(), nu=z(), nu_max=z()
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree.map(lambda g, m: b1 * m + (1 - b1) * g, updates, state.mu)
+        nu = jax.tree.map(
+            lambda g, v: b2 * v + (1 - b2) * jnp.square(g), updates, state.nu
+        )
+        nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
+        bc1 = 1 - b1**count.astype(jnp.float32)
+        bc2 = 1 - b2**count.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu_max
+        )
+        return out, ScaleByTorchAmsgradState(count=count, mu=mu, nu=nu, nu_max=nu_max)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    inner = (
+        scale_by_torch_amsgrad(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
+        if cfg.amsgrad
+        else optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_norm),
+        optax.add_decayed_weights(cfg.weight_decay),
+        inner,
+        optax.scale(-cfg.lr),
+    )
+
+
+def kl_lambda(iteration, lambda_kl: float, annealing_iters: int):
+    """lambda_kl * min(1, (it+1)/annealing_iters) (solver.py:101-104)."""
+    frac = jnp.minimum(1.0, (iteration + 1) / annealing_iters)
+    return lambda_kl * frac

@@ -1,0 +1,194 @@
+"""Training orchestration (reference: solver.py:16-118, TPU-native).
+
+Differences from the reference driver, by design:
+- the whole step is one jitted XLA program; metrics are fetched only every
+  ``summary_steps`` (the reference syncs ``.item()`` every iteration)
+- the data path is a seeded resumable cursor (no DataLoader workers)
+- checkpoints are rolling orbax step-checkpoints incl. optimizer state and
+  data cursor; resume continues the exact segment sequence
+- with a mesh, the batch is sharded over the 'data' axis (multi-host DP)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import TrainConfig, config_to_dict
+from ..data.dataset import SegmentDataset
+from ..data.loader import batch_iterator, device_prefetch
+from ..models.ae import count_params, init_ae
+from .checkpoint import CheckpointManager
+from .logger import Logger
+from .optim import kl_lambda
+from .step import make_train_step
+
+
+@dataclass
+class SolverArgs:
+    """Run arguments (reference: main.py:8-24 flag surface)."""
+
+    data_dir: str = "."
+    train_set: str = "train_128"
+    train_index_file: str = "train_samples_128.json"
+    logdir: str = "log"
+    store_model_path: str = "ckpt"
+    load_model_path: str = ""
+    load_model: bool = False
+    summary_steps: int = 100
+    save_steps: int = 5000
+    tag: str = "init"
+    seed: int = 0
+
+
+class Solver:
+    def __init__(
+        self,
+        config: TrainConfig,
+        args: SolverArgs,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.config = config
+        self.args = args
+        self.mesh = mesh
+        self.logger = Logger(args.logdir)
+        self.iteration = 0
+
+        self._load_data()
+        self._build_model()
+        self._save_config()
+        if args.load_model:
+            self.load_model()
+
+    # -- setup ------------------------------------------------------------
+
+    def _load_data(self):
+        a, c = self.args, self.config
+        self.dataset = SegmentDataset(
+            os.path.join(a.data_dir, f"{a.train_set}.pkl"),
+            os.path.join(a.data_dir, a.train_index_file),
+            segment_size=c.data_loader.segment_size,
+        )
+
+    def _build_model(self):
+        c = self.config
+        key = jax.random.PRNGKey(self.args.seed)
+        self.params = init_ae(key, c.model)
+        init_fn, self.step_fn = make_train_step(c, self.mesh)
+        self.opt_state = init_fn(self.params)
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            self.params = jax.device_put(self.params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+        self.n_params = count_params(self.params)
+
+    def _save_config(self):
+        if jax.process_index() != 0:
+            return
+        import yaml
+
+        os.makedirs(os.path.dirname(self.args.store_model_path) or ".", exist_ok=True)
+        with open(f"{self.args.store_model_path}.config.yaml", "w") as f:
+            yaml.safe_dump(config_to_dict(self.config), f)
+
+    def _ckpt_mngr(self, path: str) -> CheckpointManager:
+        return CheckpointManager(f"{path}.orbax")
+
+    # -- checkpointing ----------------------------------------------------
+
+    def save_model(self, iteration: int):
+        if not hasattr(self, "_mngr"):
+            self._mngr = self._ckpt_mngr(self.args.store_model_path)
+        self._mngr.save(
+            iteration + 1,
+            self.params,
+            self.opt_state,
+            {"iteration": iteration + 1, "seed": self.args.seed},
+        )
+
+    def load_model(self):
+        path = self.args.load_model_path or self.args.store_model_path
+        mngr = self._ckpt_mngr(path)
+        step = mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {path}.orbax")
+        self.params, self.opt_state, extra = mngr.restore(
+            step, self.params, self.opt_state
+        )
+        self.iteration = int(extra["iteration"])
+        mngr.close()
+
+    # -- training ---------------------------------------------------------
+
+    def train(self, n_iterations: int, log_every_print: bool = True) -> dict:
+        c, a = self.config, self.args
+        batches = batch_iterator(
+            self.dataset,
+            c.data_loader.batch_size,
+            frame_size=c.data_loader.frame_size,
+            shuffle=c.data_loader.shuffle,
+            seed=a.seed,
+            start_step=self.iteration,
+            host_index=jax.process_index(),
+            host_count=jax.process_count(),
+        )
+        if self.mesh is not None:
+            sharding = NamedSharding(self.mesh, P("data"))
+            put = lambda x: jax.device_put(x, sharding)
+        else:
+            put = jax.device_put
+        batches = device_prefetch(batches, put)
+
+        base_key = jax.random.PRNGKey(a.seed + 1)
+        audio_s_per_batch = (
+            c.data_loader.batch_size
+            * c.data_loader.segment_size
+            * c.signal.hop_length
+            / c.signal.sr
+        )
+        t_start = time.time()
+        last_metrics = {}
+        steps_done = 0
+        for it in range(self.iteration, self.iteration + n_iterations):
+            lam = kl_lambda(it, c.loss.lambda_kl, c.annealing_iters)
+            x = next(batches)
+            rng = jax.random.fold_in(base_key, it)
+            self.params, self.opt_state, metrics = self.step_fn(
+                self.params, self.opt_state, x, rng, jnp.float32(lam)
+            )
+            steps_done += 1
+            if it % a.summary_steps == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                elapsed = time.time() - t_start
+                m["audio_sec_per_sec"] = steps_done * audio_s_per_batch / max(
+                    elapsed, 1e-9
+                )
+                self.logger.scalars_summary(f"{a.tag}/ae_train", m, it)
+                last_metrics = m
+                if log_every_print and jax.process_index() == 0:
+                    print(
+                        f"AE:[{it + 1}/{self.iteration + n_iterations}], "
+                        f"loss_rec={m['loss_rec']:.2f}, loss_kl={m['loss_kl']:.2f}, "
+                        f"lambda={float(lam):.1e}, {m['audio_sec_per_sec']:.0f} audio-s/s",
+                        end="\r",
+                    )
+            if (it + 1) % a.save_steps == 0 or it + 1 == self.iteration + n_iterations:
+                self.save_model(it)
+        self.iteration += n_iterations
+        if hasattr(self, "_mngr"):
+            self._mngr.wait()
+        jax.block_until_ready(self.params)
+        last_metrics = {
+            **{k: float(v) for k, v in metrics.items()},
+            "audio_sec_per_sec": steps_done
+            * audio_s_per_batch
+            / max(time.time() - t_start, 1e-9),
+        }
+        return last_metrics

@@ -1,0 +1,89 @@
+"""Distributed data-parallel tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4.4): sharded step == single-device step, batch actually sharded,
+eval step sharding, and mesh utilities."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from adaptive_voice_conversion_tpu.core.mesh import (
+    batch_sharding,
+    local_batch_size,
+    make_mesh,
+    replicated_sharding,
+)
+from adaptive_voice_conversion_tpu.models import init_ae
+from adaptive_voice_conversion_tpu.train import make_eval_step, make_train_step
+
+from test_train import TINY, batch
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(n_data=8)
+
+
+def test_mesh_shapes(mesh8):
+    assert mesh8.shape["data"] == 8
+    assert mesh8.shape["model"] == 1
+    assert local_batch_size(128, mesh8) == 128  # single process owns all
+
+
+def test_sharded_step_matches_single_device(mesh8):
+    """Gradient reduction over the data axis must reproduce the single-device
+    step exactly (psum of per-shard grads == full-batch grads)."""
+    params = init_ae(jax.random.PRNGKey(0), TINY.model)
+    x = batch(b=8)
+    rng = jax.random.PRNGKey(3)
+    lam = jnp.float32(0.7)
+
+    init_fn, step1 = make_train_step(TINY, mesh=None)
+    p1 = jax.tree.map(jnp.array, params)
+    s1 = init_fn(p1)
+    p1, s1, m1 = step1(p1, s1, x, rng, lam)
+
+    init_fn8, step8 = make_train_step(TINY, mesh=mesh8)
+    p8 = jax.device_put(jax.tree.map(jnp.array, params), replicated_sharding(mesh8))
+    s8 = jax.tree.map(
+        lambda l: jax.device_put(l, replicated_sharding(mesh8)), init_fn8(params)
+    )
+    x8 = jax.device_put(x, batch_sharding(mesh8))
+    p8, s8, m8 = step8(p8, s8, x8, rng, lam)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m8["grad_norm"]), rtol=1e-5
+    )
+    l1 = jax.tree_util.tree_leaves(p1)
+    l8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_batch_is_actually_sharded(mesh8):
+    x = jax.device_put(batch(b=8), batch_sharding(mesh8))
+    # each device holds 1/8 of the batch
+    shard_shapes = {s.data.shape for s in x.addressable_shards}
+    assert shard_shapes == {(1, 16, 8)}
+
+
+def test_eval_step_sharded(mesh8):
+    params = jax.device_put(
+        init_ae(jax.random.PRNGKey(0), TINY.model), replicated_sharding(mesh8)
+    )
+    ev = make_eval_step(TINY, mesh8)
+    x8 = jax.device_put(batch(b=8), batch_sharding(mesh8))
+    m = ev(params, x8, jnp.float32(1.0))
+    assert np.isfinite(float(m["loss"]))
+
+    ev1 = make_eval_step(TINY, None)
+    m1 = ev1(init_ae(jax.random.PRNGKey(0), TINY.model), batch(b=8), jnp.float32(1.0))
+    np.testing.assert_allclose(float(m["loss"]), float(m1["loss"]), rtol=1e-5)
+
+
+def test_mesh_2d_tensor_axis():
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2

@@ -1,0 +1,104 @@
+"""End-to-end smoke (SURVEY.md §4.5): synthetic dataset -> Solver training ->
+loss decrease -> checkpoint -> resume continues deterministically."""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+from adaptive_voice_conversion_tpu.core.config import (
+    AEConfig,
+    ContentEncoderConfig,
+    DataLoaderConfig,
+    DecoderConfig,
+    OptimizerConfig,
+    SpeakerEncoderConfig,
+    TrainConfig,
+)
+from adaptive_voice_conversion_tpu.train.solver import Solver, SolverArgs
+
+N_MELS = 8
+
+TINY = TrainConfig(
+    model=AEConfig(
+        speaker_encoder=SpeakerEncoderConfig(
+            c_in=N_MELS, c_h=8, c_out=8, kernel_size=5, bank_size=4, bank_scale=1,
+            c_bank=4, n_conv_blocks=2, n_dense_blocks=1, subsample=(1, 2),
+        ),
+        content_encoder=ContentEncoderConfig(
+            c_in=N_MELS, c_h=8, c_out=8, kernel_size=5, bank_size=4, bank_scale=1,
+            c_bank=4, n_conv_blocks=2, subsample=(1, 2),
+        ),
+        decoder=DecoderConfig(
+            c_in=8, c_cond=8, c_h=8, c_out=N_MELS, kernel_size=5,
+            n_conv_blocks=2, upsample=(2, 1),
+        ),
+    ),
+    data_loader=DataLoaderConfig(segment_size=16, batch_size=8),
+)
+
+
+@pytest.fixture
+def data_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    data, index = {}, []
+    for i in range(6):
+        n = 40 + 10 * i
+        data[f"u{i}"] = rng.standard_normal((n, N_MELS)).astype(np.float32)
+        for _ in range(30):
+            index.append([f"u{i}", int(rng.integers(0, n - 16))])
+    with open(tmp_path / "train_128.pkl", "wb") as f:
+        pickle.dump(data, f)
+    with open(tmp_path / "train_samples_128.json", "w") as f:
+        json.dump(index, f)
+    return tmp_path
+
+
+def make_args(tmp_path, **kw):
+    return SolverArgs(
+        data_dir=str(tmp_path),
+        train_set="train_128",
+        train_index_file="train_samples_128.json",
+        logdir=str(tmp_path / "log"),
+        store_model_path=str(tmp_path / "model"),
+        summary_steps=5,
+        save_steps=1000,
+        **kw,
+    )
+
+
+def test_solver_trains_and_loss_decreases(data_dir):
+    solver = Solver(TINY, make_args(data_dir))
+    import json as _json
+
+    m = solver.train(40, log_every_print=False)
+    assert np.isfinite(m["loss"]) and m["loss_rec"] > 0
+    # first vs last logged loss
+    lines = [
+        _json.loads(l)
+        for l in open(data_dir / "log" / "metrics.jsonl")
+        if "init/ae_train/loss_rec" in l
+    ]
+    assert lines[-1]["init/ae_train/loss_rec"] < lines[0]["init/ae_train/loss_rec"]
+    # config snapshot written (reference solver.py:44-49 behavior)
+    assert (data_dir / "model.config.yaml").exists()
+
+
+def test_solver_checkpoint_resume_is_deterministic(data_dir):
+    a1 = make_args(data_dir, tag="a")
+    s1 = Solver(TINY, a1)
+    s1.train(10, log_every_print=False)
+    s1.save_model(9)
+    s1._mngr.wait()
+
+    # fresh solver resuming from the step-10 checkpoint (before s1 writes more)
+    a2 = make_args(data_dir, tag="b", load_model=True)
+    a2.load_model_path = a1.store_model_path
+    a2.store_model_path = str(data_dir / "model_b")
+    s2 = Solver(TINY, a2)
+    assert s2.iteration == 10
+
+    m_cont = s1.train(5, log_every_print=False)
+    m_res = s2.train(5, log_every_print=False)
+    np.testing.assert_allclose(m_res["loss"], m_cont["loss"], rtol=1e-5)
