@@ -1,0 +1,48 @@
+"""One-shot conversion CLI (reference: inference.py:95-109, same flags).
+
+    python -m adaptive_voice_conversion_tpu.cli.inference \
+        -a attr.pkl -c config.yaml -m vctk_model.ckpt \
+        -s source.wav -t target.wav -o output.wav
+
+``-m`` accepts either a reference torch ``.ckpt`` file or a path whose
+``<path>.orbax`` directory holds our checkpoints.
+"""
+
+import os
+from argparse import ArgumentParser
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser()
+    parser.add_argument("-attr", "-a", help="attr file path", required=True)
+    parser.add_argument("-config", "-c", help="config file path", required=True)
+    parser.add_argument("-model", "-m", help="model path", required=True)
+    parser.add_argument("-source", "-s", help="source wav path", required=True)
+    parser.add_argument("-target", "-t", help="target wav path", required=True)
+    parser.add_argument("-output", "-o", help="output wav path", required=True)
+    parser.add_argument("-sample_rate", "-sr", default=24000, type=int)
+    parser.add_argument("--cpu_vocoder", action="store_true",
+                        help="use the numpy Griffin-Lim instead of TPU")
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from ..core.config import load_config
+    from ..infer.inferencer import Inferencer
+
+    config = load_config(args.config)
+    if os.path.isdir(f"{args.model}.orbax"):
+        inferencer = Inferencer.from_orbax(
+            config, args.model, args.attr, use_tpu_vocoder=not args.cpu_vocoder
+        )
+    else:
+        inferencer = Inferencer.from_torch_checkpoint(
+            config, args.model, args.attr, use_tpu_vocoder=not args.cpu_vocoder
+        )
+    inferencer.inference_from_path(args.source, args.target, args.output)
+
+
+if __name__ == "__main__":
+    main()

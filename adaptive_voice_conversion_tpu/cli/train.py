@@ -1,0 +1,82 @@
+"""Training CLI (reference: main.py:7-33 flag surface, same names).
+
+    python -m adaptive_voice_conversion_tpu.cli.train \
+        -config config.yaml -data_dir <dir> -train_set train_128 \
+        -train_index_file train_samples_128.json -iters 500000
+
+TPU additions: ``--n_data`` to shard the batch over a data-parallel mesh
+(multi-host via --multihost), ``--compute_dtype bfloat16``.
+"""
+
+from argparse import ArgumentParser
+
+import dataclasses
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser()
+    parser.add_argument("-config", "-c", default="config.yaml")
+    parser.add_argument("-data_dir", "-d", default=".")
+    parser.add_argument("-train_set", default="train")
+    parser.add_argument("-train_index_file", default="train_samples_64.json")
+    parser.add_argument("-logdir", default="log/")
+    parser.add_argument("--load_model", action="store_true")
+    # accepted for flag parity; like the reference (main.py:16,
+    # solver.py:51-55) resume always restores both model and optimizer
+    parser.add_argument("--load_opt", action="store_true")
+    parser.add_argument("-store_model_path", default="model")
+    parser.add_argument("-load_model_path", default="")
+    parser.add_argument("-summary_steps", default=100, type=int)
+    parser.add_argument("-save_steps", default=5000, type=int)
+    parser.add_argument("-tag", "-t", default="init")
+    parser.add_argument("-iters", default=0, type=int)
+    parser.add_argument("-seed", default=0, type=int)
+    # TPU-native flags
+    parser.add_argument("--n_data", type=int, default=0,
+                        help="data-parallel mesh size (0 = all local devices)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="jax.distributed.initialize() for pod runs")
+    parser.add_argument("--compute_dtype", default="",
+                        choices=["", "float32", "bfloat16"])
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from ..core.config import load_config
+    from ..core.mesh import init_multihost, make_mesh
+    from ..train.solver import Solver, SolverArgs
+
+    if args.multihost:
+        init_multihost()
+
+    config = load_config(args.config)
+    if args.compute_dtype:
+        config = dataclasses.replace(config, compute_dtype=args.compute_dtype)
+
+    n_data = args.n_data or len(jax.devices())
+    mesh = make_mesh(n_data=n_data) if n_data > 1 else None
+
+    solver_args = SolverArgs(
+        data_dir=args.data_dir,
+        train_set=args.train_set,
+        train_index_file=args.train_index_file,
+        logdir=args.logdir,
+        store_model_path=args.store_model_path,
+        load_model_path=args.load_model_path,
+        load_model=args.load_model,
+        summary_steps=args.summary_steps,
+        save_steps=args.save_steps,
+        tag=args.tag,
+        seed=args.seed,
+    )
+    solver = Solver(config, solver_args, mesh=mesh)
+    if args.iters > 0:
+        solver.train(n_iterations=args.iters)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""One-shot voice conversion (reference: inference.py:24-109).
+
+Source wav -> content mu; target wav (one utterance of an unseen speaker) ->
+speaker embedding; AdaIN decoder recombines; Griffin-Lim vocodes. Weights
+come either from our orbax checkpoints or directly from the reference's
+``vctk_model.ckpt`` (torch state_dict) via models.torch_import.
+
+TPU-native additions over the reference:
+- the neural pass is jitted once per (source-len, target-len) bucket
+- ``convert_grid`` performs a batched speakers x contents cross-conversion
+  with one padded batch through the model and one batched Griffin-Lim call
+  (the serving configuration in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import pickle
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import SignalConfig, TrainConfig
+from ..dsp.audio import save_wav
+from ..dsp.features import get_spectrograms
+from ..dsp.vocoder import melspectrogram2wav, melspectrogram2wav_jax
+from ..models.ae import ae_inference
+
+
+def utt_make_frames(x: np.ndarray, frame_size: int) -> np.ndarray:
+    """(T, n_mels) -> (1, T/frame_size, frame_size*n_mels).
+
+    Reference ``utt_make_frames`` (inference.py:54-60) — with its
+    mel-axis-padding bug fixed: when T % frame_size != 0 we pad TIME frames
+    (the reference pads the mel-bin axis, harmless only because the shipped
+    config uses frame_size=1; SURVEY.md §2.3).
+    """
+    t = x.shape[0]
+    if t % frame_size:
+        x = np.pad(x, ((0, frame_size - t % frame_size), (0, 0)))
+    return x.reshape(1, x.shape[0] // frame_size, frame_size * x.shape[1])
+
+
+class Inferencer:
+    def __init__(
+        self,
+        config: TrainConfig,
+        params: dict,
+        attr_path: str,
+        use_tpu_vocoder: bool = True,
+    ):
+        self.config = config
+        self.params = params
+        self.use_tpu_vocoder = use_tpu_vocoder
+        with open(attr_path, "rb") as f:
+            self.attr = pickle.load(f)
+        self._jit_inference = jax.jit(
+            lambda p, x, xc: ae_inference(p, self.config.model, x, xc)
+        )
+
+    # -- constructors -----------------------------------------------------
+
+    @classmethod
+    def from_torch_checkpoint(
+        cls, config: TrainConfig, ckpt_path: str, attr_path: str, **kw
+    ) -> "Inferencer":
+        """Load the reference's ``vctk_model.ckpt`` directly."""
+        from ..models.torch_import import load_torch_checkpoint
+
+        params = load_torch_checkpoint(ckpt_path, config.model)
+        return cls(config, params, attr_path, **kw)
+
+    @classmethod
+    def from_orbax(
+        cls, config: TrainConfig, store_model_path: str, attr_path: str, **kw
+    ) -> "Inferencer":
+        from ..models.ae import init_ae
+        from ..train.checkpoint import CheckpointManager
+        from ..train.optim import make_optimizer
+
+        params = init_ae(jax.random.PRNGKey(0), config.model)
+        mngr = CheckpointManager(f"{store_model_path}.orbax")
+        step = mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {store_model_path}.orbax")
+        opt_like = make_optimizer(config.optimizer).init(params)
+        params, _, _ = mngr.restore(step, params, opt_like)
+        mngr.close()
+        return cls(config, params, attr_path, **kw)
+
+    # -- normalization (inference.py:72-80) -------------------------------
+
+    def normalize(self, x: np.ndarray) -> np.ndarray:
+        return (x - self.attr["mean"]) / self.attr["std"]
+
+    def denormalize(self, x: np.ndarray) -> np.ndarray:
+        return x * self.attr["std"] + self.attr["mean"]
+
+    # -- conversion -------------------------------------------------------
+
+    def convert_mel(self, src_mel: np.ndarray, tar_mel: np.ndarray) -> np.ndarray:
+        """Normalized mels (T, n_mels) -> converted normalized mel (T', n_mels)."""
+        f = self.config.data_loader.frame_size
+        x = jnp.asarray(utt_make_frames(src_mel.astype(np.float32), f))
+        xc = jnp.asarray(utt_make_frames(tar_mel.astype(np.float32), f))
+        dec = self._jit_inference(self.params, x, xc)
+        return np.asarray(dec[0])
+
+    def inference_one_utterance(
+        self, src_mel: np.ndarray, tar_mel: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (wav, converted denormalized mel) — inference.py:62-70."""
+        dec = self.convert_mel(src_mel, tar_mel)
+        dec = self.denormalize(dec)
+        if self.use_tpu_vocoder:
+            wav = melspectrogram2wav_jax(jnp.asarray(dec), self.config.signal)
+        else:
+            wav = melspectrogram2wav(dec, self.config.signal)
+        return wav, dec
+
+    def inference_from_path(
+        self, source_path: str, target_path: str, output_path: str
+    ) -> np.ndarray:
+        """inference.py:86-93: featurize both wavs, normalize, convert, write."""
+        src_mel, _ = get_spectrograms(source_path, self.config.signal)
+        tar_mel, _ = get_spectrograms(target_path, self.config.signal)
+        src_mel = self.normalize(src_mel)
+        tar_mel = self.normalize(tar_mel)
+        wav, _ = self.inference_one_utterance(src_mel, tar_mel)
+        save_wav(output_path, wav, self.config.signal.sr)
+        return wav
+
+    # -- batched serving --------------------------------------------------
+
+    def convert_grid(
+        self,
+        src_mels: Sequence[np.ndarray],
+        tar_mels: Sequence[np.ndarray],
+        gl_iters: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """All pairs (src_i, tar_j) in ONE padded batch through the model and
+        one batched TPU Griffin-Lim call. Returns wavs row-major (i * n_t + j).
+
+        Padding: sources pad to the max source length (multiple of 8 for the
+        downsample chain); short targets are tiled cyclically (the speaker
+        encoder has no normalization and global-average-pools over time, so
+        tiling approximately preserves the embedding).
+
+        NOTE: when source lengths differ, zero padding enters the content
+        encoder's instance-norm statistics, so results differ slightly from
+        one-at-a-time conversion; group equal-length sources for exactness.
+        """
+        from ..dsp.vocoder import griffin_lim_jax, mel_to_mag_jax
+        from ..dsp.audio import deemphasis, trim_silence
+
+        cfg = self.config.signal
+        ns, nt = len(src_mels), len(tar_mels)
+        ts = max(m.shape[0] for m in src_mels)
+        ts = -(-ts // 8) * 8
+        tt = max(m.shape[0] for m in tar_mels)
+
+        def pad_to(m, t):
+            return np.pad(m, ((0, t - m.shape[0]), (0, 0)))
+
+        def tile_to(m, t):
+            reps = -(-t // m.shape[0])
+            return np.tile(m, (reps, 1))[:t]
+
+        src = np.stack([pad_to(m.astype(np.float32), ts) for m in src_mels])
+        tar = np.stack([tile_to(m.astype(np.float32), tt) for m in tar_mels])
+        # cross product: repeat sources per target, tile targets per source
+        src_b = np.repeat(src, nt, axis=0)
+        tar_b = np.tile(tar, (ns, 1, 1))
+        dec = np.asarray(
+            self._jit_inference(self.params, jnp.asarray(src_b), jnp.asarray(tar_b))
+        )
+        dec = dec * self.attr["std"] + self.attr["mean"]
+        mag = mel_to_mag_jax(jnp.asarray(dec), cfg)
+        wavs = np.asarray(griffin_lim_jax(mag, cfg, n_iter=gl_iters))
+        out = []
+        for i in range(ns):
+            true_t = src_mels[i].shape[0]
+            n_samp = cfg.hop_length * (true_t - 1)
+            for j in range(nt):
+                w = deemphasis(wavs[i * nt + j][:n_samp], cfg.preemphasis)
+                w, _ = trim_silence(w, top_db=60.0)
+                out.append(w.astype(np.float32))
+        return out
