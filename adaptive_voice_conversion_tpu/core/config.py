@@ -125,6 +125,13 @@ class TrainConfig:
     signal: SignalConfig = field(default_factory=SignalConfig)
     # TPU-native knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "bfloat16" for mixed-precision training
+    data_dtype: str = "float32"  # "bfloat16" halves host gather + H2D bytes
+    # input pipeline: "device" keeps the packed dataset in HBM and samples
+    # segments on-device inside a scanned multi-step program; "host" streams
+    # batches; "auto" picks "device" when the dataset fits the budget
+    input_mode: str = "auto"
+    device_data_budget_bytes: int = 6_000_000_000
+    inner_steps: int = 10  # train steps fused per XLA call in device mode
 
 
 def _filter_kwargs(cls, d: dict) -> dict:
@@ -164,6 +171,12 @@ def config_from_dict(raw: dict) -> TrainConfig:
         annealing_iters=int(raw.get("annealing_iters", 20000)),
         signal=SignalConfig(**_filter_kwargs(SignalConfig, raw.get("signal", {}))),
         compute_dtype=str(raw.get("compute_dtype", "float32")),
+        data_dtype=str(raw.get("data_dtype", "float32")),
+        input_mode=str(raw.get("input_mode", "auto")),
+        device_data_budget_bytes=int(
+            raw.get("device_data_budget_bytes", 6_000_000_000)
+        ),
+        inner_steps=int(raw.get("inner_steps", 10)),
     )
 
 
@@ -184,6 +197,10 @@ def config_to_dict(cfg: TrainConfig) -> dict:
         "annealing_iters": cfg.annealing_iters,
         "signal": asdict(cfg.signal),
         "compute_dtype": cfg.compute_dtype,
+        "data_dtype": cfg.data_dtype,
+        "input_mode": cfg.input_mode,
+        "device_data_budget_bytes": cfg.device_data_budget_bytes,
+        "inner_steps": cfg.inner_steps,
     }
 
 

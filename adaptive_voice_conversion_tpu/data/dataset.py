@@ -42,12 +42,23 @@ class SegmentDataset:
         pickle_path: str,
         index_path: str,
         segment_size: int,
+        storage_dtype: str = "float32",
     ):
+        """``storage_dtype='bfloat16'`` halves RAM, host-gather bytes, and
+        host->device transfer (the pipeline bottleneck on thin hosts); mel
+        values are O(1) normalized so bf16 costs ~1e-2 relative quantization
+        on the training target. float32 is bit-exact with the reference."""
         with open(pickle_path, "rb") as f:
             data: dict = pickle.load(f)
         with open(index_path) as f:
             indexes: Sequence = json.load(f)
         self.segment_size = segment_size
+        if storage_dtype == "bfloat16":
+            import ml_dtypes
+
+            dtype = ml_dtypes.bfloat16
+        else:
+            dtype = np.dtype(storage_dtype)
 
         utt_ids = list(data.keys())
         id_to_row = {u: i for i, u in enumerate(utt_ids)}
@@ -55,7 +66,7 @@ class SegmentDataset:
         offsets = np.zeros(len(utt_ids) + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
         n_mels = data[utt_ids[0]].shape[1] if utt_ids else 0
-        packed = np.empty((int(offsets[-1]), n_mels), dtype=np.float32)
+        packed = np.empty((int(offsets[-1]), n_mels), dtype=dtype)
         for u, i in id_to_row.items():
             packed[offsets[i] : offsets[i + 1]] = data[u]
         self.packed = packed

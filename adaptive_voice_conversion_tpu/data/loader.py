@@ -61,6 +61,16 @@ def batch_iterator(
             step += 1
 
 
+def as_wire_format(batch: np.ndarray) -> np.ndarray:
+    """bf16 batches are shipped as their uint16 bit pattern: numpy ml_dtypes
+    arrays take a ~10x slower host->device serialization path than native
+    dtypes (measured 90ms vs 10ms per 16MB on the axon tunnel). The train
+    step bitcasts back to bf16 on device (train/step.py)."""
+    if batch.dtype.name == "bfloat16":
+        return batch.view(np.uint16)
+    return batch
+
+
 def device_prefetch(it: Iterator[np.ndarray], put_fn, depth: int = 2):
     """Run host gathering in a thread and ``put_fn`` (device_put) ahead of
     consumption — overlaps the host data path with TPU steps."""

@@ -23,12 +23,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import TrainConfig, config_to_dict
 from ..data.dataset import SegmentDataset
-from ..data.loader import batch_iterator, device_prefetch
+from ..data.loader import as_wire_format, batch_iterator, device_prefetch
 from ..models.ae import count_params, init_ae
 from .checkpoint import CheckpointManager
 from .logger import Logger
 from .optim import kl_lambda
-from .step import make_train_step
+from .step import make_device_data_train_step, make_train_step
 
 
 @dataclass
@@ -75,13 +75,36 @@ class Solver:
             os.path.join(a.data_dir, f"{a.train_set}.pkl"),
             os.path.join(a.data_dir, a.train_index_file),
             segment_size=c.data_loader.segment_size,
+            storage_dtype=c.data_dtype,
         )
+        if c.input_mode == "device":
+            self.device_mode = True
+        elif c.input_mode == "host":
+            self.device_mode = False
+        else:  # auto
+            self.device_mode = (
+                self.dataset.packed.nbytes <= c.device_data_budget_bytes
+                and jax.process_count() == 1
+            )
+        self.device_data = None
+        if self.device_mode:
+            from ..data.device_sampler import DeviceResidentDataset
+
+            dtype = "bfloat16" if "bfloat16" in (c.data_dtype, c.compute_dtype) else "float32"
+            self.device_data = DeviceResidentDataset(
+                self.dataset, mesh=self.mesh, dtype=dtype
+            )
 
     def _build_model(self):
         c = self.config
         key = jax.random.PRNGKey(self.args.seed)
         self.params = init_ae(key, c.model)
-        init_fn, self.step_fn = make_train_step(c, self.mesh)
+        if self.device_mode:
+            init_fn, self.multi_step_fn = make_device_data_train_step(
+                c, self.mesh, inner_steps=c.inner_steps
+            )
+        else:
+            init_fn, self.step_fn = make_train_step(c, self.mesh)
         self.opt_state = init_fn(self.params)
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
@@ -128,6 +151,78 @@ class Solver:
     # -- training ---------------------------------------------------------
 
     def train(self, n_iterations: int, log_every_print: bool = True) -> dict:
+        if self.device_mode:
+            return self._train_device(n_iterations, log_every_print)
+        return self._train_host(n_iterations, log_every_print)
+
+    def _train_device(self, n_iterations: int, log_every_print: bool) -> dict:
+        """Device-resident path: chunks of ``inner_steps`` fused per XLA call
+        (sampling on device — zero per-step host traffic). Checkpoints land
+        on the first chunk boundary at/after each save_steps multiple."""
+        c, a = self.config, self.args
+        K = c.inner_steps
+        base_key = jax.random.PRNGKey(a.seed + 1)
+        audio_s_per_batch = (
+            c.data_loader.batch_size
+            * c.data_loader.segment_size
+            * c.signal.hop_length
+            / c.signal.sr
+        )
+        packed, starts = self.device_data.packed, self.device_data.starts
+        t_start = time.time()
+        it = self.iteration
+        end = self.iteration + n_iterations
+        steps_done = 0
+        last_summary = None
+        remainder_fn = None
+        while it < end:
+            k = min(K, end - it)
+            if k == K:
+                self.params, self.opt_state, ms = self.multi_step_fn(
+                    self.params, self.opt_state, packed, starts, base_key,
+                    jnp.int32(it),
+                )
+            else:
+                if remainder_fn is None:
+                    _, remainder_fn = make_device_data_train_step(
+                        c, self.mesh, inner_steps=k
+                    )
+                self.params, self.opt_state, ms = remainder_fn(
+                    self.params, self.opt_state, packed, starts, base_key,
+                    jnp.int32(it),
+                )
+            it += k
+            steps_done += k
+            crossed_summary = (it - 1) // a.summary_steps != (it - k - 1) // a.summary_steps or it == end
+            if crossed_summary:
+                row = np.asarray(ms[-1])
+                m = {
+                    "loss": float(row[0]),
+                    "loss_rec": float(row[1]),
+                    "loss_kl": float(row[2]),
+                    "grad_norm": float(row[3]),
+                    "audio_sec_per_sec": steps_done
+                    * audio_s_per_batch
+                    / max(time.time() - t_start, 1e-9),
+                }
+                self.logger.scalars_summary(f"{a.tag}/ae_train", m, it - 1)
+                last_summary = m
+                if log_every_print and jax.process_index() == 0:
+                    print(
+                        f"AE:[{it}/{end}], loss_rec={m['loss_rec']:.2f}, "
+                        f"loss_kl={m['loss_kl']:.2f}, "
+                        f"{m['audio_sec_per_sec']:.0f} audio-s/s",
+                        end="\r",
+                    )
+            if (it // a.save_steps) != ((it - k) // a.save_steps) or it == end:
+                self.save_model(it - 1)
+        self.iteration = end
+        if hasattr(self, "_mngr"):
+            self._mngr.wait()
+        jax.block_until_ready(self.params)
+        return last_summary or {}
+
+    def _train_host(self, n_iterations: int, log_every_print: bool = True) -> dict:
         c, a = self.config, self.args
         batches = batch_iterator(
             self.dataset,
@@ -141,9 +236,9 @@ class Solver:
         )
         if self.mesh is not None:
             sharding = NamedSharding(self.mesh, P("data"))
-            put = lambda x: jax.device_put(x, sharding)
+            put = lambda x: jax.device_put(as_wire_format(x), sharding)
         else:
-            put = jax.device_put
+            put = lambda x: jax.device_put(as_wire_format(x))
         batches = device_prefetch(batches, put)
 
         base_key = jax.random.PRNGKey(a.seed + 1)

@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import TrainConfig
 from ..models.ae import ae_forward, ae_inference
-from .optim import make_optimizer
+from .optim import kl_lambda, make_optimizer
 
 
 def loss_terms(cfg: TrainConfig, params, x, rng, deterministic=True):
@@ -55,6 +55,10 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None):
         return opt.init(params)
 
     def _step(params, opt_state, x, rng, lambda_kl):
+        if x.dtype == jnp.uint16:
+            # bf16 wire format (data/loader.py as_wire_format)
+            x = jax.lax.bitcast_convert_type(x, jnp.bfloat16)
+
         def loss_fn(p):
             loss_rec, loss_kl, _ = loss_terms(
                 cfg, p, x, rng, deterministic=not any_dropout
@@ -84,6 +88,87 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None):
         step = jax.jit(
             _step,
             in_shardings=(repl, repl, batch, repl, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+    return init_fn, step
+
+
+def make_device_data_train_step(
+    cfg: TrainConfig, mesh: Optional[Mesh] = None, inner_steps: int = 10
+):
+    """Multi-step trainer over a device-resident dataset
+    (data/device_sampler.py): one XLA call runs ``inner_steps`` iterations of
+    sample -> fwd -> bwd -> update via lax.scan — zero per-step host traffic
+    and one dispatch per chunk, which is what the thin-host/tunnel setup
+    needs (SURVEY.md §7 hard part 4).
+
+    Returns (init_fn, multi_step) with
+        multi_step(params, opt_state, packed, starts, base_key, it0)
+            -> (params, opt_state, metrics (inner_steps, 4) [loss, rec, kl,
+               grad_norm])
+    RNG discipline matches the host path: step i uses fold_in(base_key,
+    it0 + i), so resume mid-run is deterministic.
+    """
+    opt = make_optimizer(cfg.optimizer)
+    b = cfg.data_loader.batch_size
+    seg = cfg.data_loader.segment_size
+    any_dropout = (
+        cfg.model.speaker_encoder.dropout_rate > 0
+        or cfg.model.content_encoder.dropout_rate > 0
+        or cfg.model.decoder.dropout_rate > 0
+    )
+
+    from ..data.device_sampler import sample_segments
+
+    def init_fn(params):
+        return opt.init(params)
+
+    def _multi_step(params, opt_state, packed, starts, base_key, it0):
+        batch_spec = (
+            NamedSharding(mesh, P("data")) if mesh is not None else None
+        )
+
+        def body(carry, i):
+            params, opt_state = carry
+            key = jax.random.fold_in(base_key, it0 + i)
+            k_idx, k_step = jax.random.split(key)
+            x = sample_segments(packed, starts, seg, b, k_idx)
+            if batch_spec is not None:
+                x = jax.lax.with_sharding_constraint(x, batch_spec)
+            lam = kl_lambda(it0 + i, cfg.loss.lambda_kl, cfg.annealing_iters)
+
+            def loss_fn(p):
+                loss_rec, loss_kl, _ = loss_terms(
+                    cfg, p, x, k_step, deterministic=not any_dropout
+                )
+                return (
+                    cfg.loss.lambda_rec * loss_rec + lam * loss_kl,
+                    (loss_rec, loss_kl),
+                )
+
+            (loss, (loss_rec, loss_kl)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            grad_norm = optax.global_norm(grads)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), jnp.stack(
+                [loss, loss_rec, loss_kl, grad_norm]
+            )
+
+        (params, opt_state), ms = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(inner_steps)
+        )
+        return params, opt_state, ms
+
+    if mesh is None:
+        step = jax.jit(_multi_step, donate_argnums=(0, 1))
+    else:
+        repl = NamedSharding(mesh, P())
+        step = jax.jit(
+            _multi_step,
+            in_shardings=(repl, repl, repl, repl, repl, repl),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1),
         )
