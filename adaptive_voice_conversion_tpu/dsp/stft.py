@@ -79,20 +79,33 @@ def istft_np(
 # ---------------------------------------------------------------------------
 
 
+def frame_signal_jax(y: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
+    """Center-reflect-pad and frame WITHOUT a gather: pad to a hop multiple,
+    view as (..., M, hop) chunks, and concatenate ceil(n_fft/hop) shifted
+    contiguous chunk slices. Gathers with (T, n_fft) index matrices are the
+    dominant cost of STFT on TPU; slices+concat are pure bandwidth."""
+    pad = n_fft // 2
+    pads = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
+    yp = jnp.pad(y, pads, mode="reflect")
+    n = yp.shape[-1]
+    n_frames = 1 + (n - n_fft) // hop_length
+    n_chunks = -(-n_fft // hop_length)
+    m = n_frames + n_chunks  # chunks needed so slices j..j+n_frames exist
+    extra = m * hop_length - n
+    if extra > 0:
+        yp = jnp.pad(yp, [(0, 0)] * (y.ndim - 1) + [(0, extra)])
+    chunks = yp.reshape(*yp.shape[:-1], m, hop_length)
+    parts = [chunks[..., j : j + n_frames, :] for j in range(n_chunks)]
+    frames = jnp.concatenate(parts, axis=-1)  # (..., n_frames, n_chunks*hop)
+    return frames[..., :n_fft]
+
+
 def stft_jax(
     y: jnp.ndarray, n_fft: int, hop_length: int, win_length: int
 ) -> jnp.ndarray:
     """(..., n_samples) -> complex64 (..., 1 + n_fft//2, n_frames)."""
     w = jnp.asarray(hann_window(win_length, n_fft), dtype=jnp.float32)
-    pad = n_fft // 2
-    pads = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
-    yp = jnp.pad(y, pads, mode="reflect")
-    n_frames = 1 + (yp.shape[-1] - n_fft) // hop_length
-    idx = (
-        jnp.arange(n_fft)[None, :]
-        + hop_length * jnp.arange(n_frames)[:, None]
-    )  # (n_frames, n_fft)
-    frames = jnp.take(yp, idx, axis=-1) * w  # (..., n_frames, n_fft)
+    frames = frame_signal_jax(y, n_fft, hop_length) * w
     spec = jnp.fft.rfft(frames, axis=-1)
     return jnp.swapaxes(spec, -1, -2)  # (..., n_freq, n_frames)
 

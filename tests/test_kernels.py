@@ -1,0 +1,71 @@
+"""Pallas kernel tests (interpret mode on CPU; the compiled path is
+exercised on TPU by bench/verify runs)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from adaptive_voice_conversion_tpu.core.config import SignalConfig
+from adaptive_voice_conversion_tpu.dsp import mel_from_wave_jax, preemphasis
+from adaptive_voice_conversion_tpu.kernels import (
+    mel_from_wave_pallas,
+    stft_mel_pallas,
+)
+from adaptive_voice_conversion_tpu.kernels.stft_mel import (
+    FRAME_BLOCK,
+    _dft_mel_constants,
+    _frame_signal,
+)
+
+CFG = SignalConfig()
+
+
+def make_wave(n=24000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / CFG.sr
+    y = 0.3 * np.sin(2 * np.pi * 220 * t) + 0.01 * rng.standard_normal(n)
+    return preemphasis(y.astype(np.float32), CFG.preemphasis)
+
+
+def test_dft_constants_shapes():
+    wc, ws, mt = _dft_mel_constants(CFG.sr, CFG.n_fft, CFG.win_length, CFG.n_mels)
+    assert wc.shape == ws.shape == (2048, 1280)
+    assert mt.shape == (1280, 512)
+    # pad columns carry zero mel weight
+    assert float(jnp.abs(mt[1025:]).max()) == 0.0
+
+
+def test_frame_signal_matches_stft_framecount():
+    from adaptive_voice_conversion_tpu.dsp import frame_count
+
+    y = make_wave()
+    frames = _frame_signal(jnp.asarray(y), CFG)
+    assert frames.shape == (frame_count(len(y), CFG.n_fft, CFG.hop_length), CFG.n_fft)
+
+
+def test_mel_from_wave_pallas_matches_rfft_path():
+    y = make_wave()
+    mel_ref, _ = mel_from_wave_jax(jnp.asarray(y), CFG)
+    mel_k = mel_from_wave_pallas(jnp.asarray(y), CFG)
+    assert mel_k.shape == mel_ref.shape
+    np.testing.assert_allclose(np.asarray(mel_k), np.asarray(mel_ref), atol=5e-4)
+
+
+def test_stft_mel_pallas_block_padding_is_inert():
+    """Zero-pad frames to the block multiple: padded rows produce the dB
+    floor, and real rows are unaffected."""
+    y = make_wave(12000)
+    frames = _frame_signal(jnp.asarray(y), CFG)
+    t = frames.shape[0]
+    t_pad = -(-t // FRAME_BLOCK) * FRAME_BLOCK
+    fp = jnp.pad(frames, ((0, t_pad - t), (0, 0)))
+    mel = stft_mel_pallas(fp, CFG)
+    mel_ref, _ = mel_from_wave_jax(jnp.asarray(y), CFG)
+    np.testing.assert_allclose(np.asarray(mel[:t]), np.asarray(mel_ref), atol=5e-4)
+    # padded frames: all-zero signal -> dB floor after normalization
+    floor = (20 * np.log10(1e-5) - CFG.ref_db + CFG.max_db) / CFG.max_db
+    np.testing.assert_allclose(
+        np.asarray(mel[t:]), np.full((t_pad - t, CFG.n_mels), max(floor, 1e-8)),
+        atol=1e-6,
+    )
