@@ -8,6 +8,7 @@ TPU additions: ``--n_data`` to shard the batch over a data-parallel mesh
 (multi-host via --multihost), ``--compute_dtype bfloat16``.
 """
 
+import json
 from argparse import ArgumentParser
 
 import dataclasses
@@ -31,9 +32,18 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("-tag", "-t", default="init")
     parser.add_argument("-iters", default=0, type=int)
     parser.add_argument("-seed", default=0, type=int)
+    # evaluation on held-out splits (the reference produces in_test/out_test
+    # but never consumes them — SURVEY.md §4)
+    parser.add_argument("-eval_set", default="",
+                        help="e.g. in_test — evaluated after training")
+    parser.add_argument("-eval_index_file", default="")
     # TPU-native flags
     parser.add_argument("--n_data", type=int, default=0,
                         help="data-parallel mesh size (0 = all local devices)")
+    parser.add_argument("--profile_dir", default="",
+                        help="capture a jax.profiler trace of the first "
+                             "training chunk into this dir")
+    parser.add_argument("--debug_nans", action="store_true")
     parser.add_argument("--multihost", action="store_true",
                         help="jax.distributed.initialize() for pod runs")
     parser.add_argument("--compute_dtype", default="",
@@ -73,9 +83,27 @@ def main(argv=None) -> None:
         tag=args.tag,
         seed=args.seed,
     )
+    if args.debug_nans:
+        from ..utils import enable_nan_debugging
+
+        enable_nan_debugging(True)
+
     solver = Solver(config, solver_args, mesh=mesh)
     if args.iters > 0:
-        solver.train(n_iterations=args.iters)
+        if args.profile_dir:
+            from ..utils import profile_trace
+
+            with profile_trace(args.profile_dir):
+                solver.train(n_iterations=min(args.iters, 3 * config.inner_steps))
+            remaining = args.iters - min(args.iters, 3 * config.inner_steps)
+            if remaining > 0:
+                solver.train(n_iterations=remaining)
+        else:
+            solver.train(n_iterations=args.iters)
+    if args.eval_set:
+        idx = args.eval_index_file or f"{args.eval_set}_samples_{config.data_loader.segment_size}.json"
+        metrics = solver.evaluate(args.eval_set, idx)
+        print("\neval", args.eval_set, json.dumps(metrics))
 
 
 if __name__ == "__main__":

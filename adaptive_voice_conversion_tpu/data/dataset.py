@@ -82,8 +82,18 @@ class SegmentDataset:
         return len(self.starts)
 
     def gather(self, idx: np.ndarray) -> np.ndarray:
-        """Segment batch for index positions ``idx``: (len(idx), seg, n_mels)."""
-        rows = self.starts[idx][:, None] + np.arange(self.segment_size)[None, :]
+        """Segment batch for index positions ``idx``: (len(idx), seg, n_mels).
+
+        Uses the native memcpy gather (data/native.py) when built — segments
+        are contiguous row ranges of the packed array — with a numpy
+        fancy-index fallback."""
+        starts = self.starts[idx]
+        from .native import gather_segments
+
+        out = gather_segments(self.packed, starts, self.segment_size)
+        if out is not None:
+            return out
+        rows = starts[:, None] + np.arange(self.segment_size)[None, :]
         return self.packed[rows]
 
     def get_utterance(self, utt_id: str) -> np.ndarray:

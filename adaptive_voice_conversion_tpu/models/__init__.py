@@ -14,6 +14,7 @@ from .ae import (
     count_params,
 )
 from .torch_import import torch_state_dict_to_params, load_torch_checkpoint
+from .torch_export import params_to_torch_state_dict, save_torch_checkpoint
 
 __all__ = [
     "init_speaker_encoder",
@@ -29,4 +30,6 @@ __all__ = [
     "count_params",
     "torch_state_dict_to_params",
     "load_torch_checkpoint",
+    "params_to_torch_state_dict",
+    "save_torch_checkpoint",
 ]

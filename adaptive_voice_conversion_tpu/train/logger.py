@@ -45,8 +45,25 @@ class Logger:
             self._tb.add_text(tag, value, step)
 
     def audio_summary(self, tag: str, value, step: int, sr: int) -> None:
+        """Fixed vs the reference (utils.py:25-26 references an undefined
+        ``writer`` and would NameError). Falls back to writing a wav next to
+        the logs when tensorboardX lacks its soundfile dependency."""
         if self._tb is not None:
-            self._tb.add_audio(tag, value, step, sample_rate=sr)
+            try:
+                self._tb.add_audio(tag, value, step, sample_rate=sr)
+                return
+            except Exception:
+                pass
+        if self.is_main:
+            from ..dsp.audio import save_wav
+            import numpy as _np
+
+            safe = tag.replace("/", "_")
+            save_wav(
+                os.path.join(self.logdir, f"{safe}_{step}.wav"),
+                _np.asarray(value, dtype=_np.float32),
+                sr,
+            )
 
     def _write_jsonl(self, step: int, payload: Dict) -> None:
         if self._jsonl is None:

@@ -28,7 +28,7 @@ from ..models.ae import count_params, init_ae
 from .checkpoint import CheckpointManager
 from .logger import Logger
 from .optim import kl_lambda
-from .step import make_device_data_train_step, make_train_step
+from .step import make_device_data_train_step, make_eval_step, make_train_step
 
 
 @dataclass
@@ -147,6 +147,43 @@ class Solver:
         )
         self.iteration = int(extra["iteration"])
         mngr.close()
+
+    # -- evaluation -------------------------------------------------------
+
+    def evaluate(
+        self, eval_set: str, eval_index_file: str, max_batches: int = 20
+    ) -> dict:
+        """Deterministic held-out loss on an in_test/out_test split.
+
+        The reference produces these splits but never consumes them
+        (SURVEY.md §4); this closes that gap. Returns mean loss terms."""
+        a, c = self.args, self.config
+        ds = SegmentDataset(
+            os.path.join(a.data_dir, f"{eval_set}.pkl"),
+            os.path.join(a.data_dir, eval_index_file),
+            segment_size=c.data_loader.segment_size,
+            storage_dtype=c.data_dtype,
+        )
+        if not hasattr(self, "_eval_fn"):
+            self._eval_fn = make_eval_step(c, self.mesh)
+        from ..data.loader import as_wire_format
+
+        n = min(max_batches, len(ds) // c.data_loader.batch_size)
+        lam = jnp.float32(
+            kl_lambda(self.iteration, c.loss.lambda_kl, c.annealing_iters)
+        )
+        sums = None
+        rng = np.random.default_rng(0)
+        order = rng.permutation(len(ds))
+        for i in range(n):
+            idx = order[i * c.data_loader.batch_size : (i + 1) * c.data_loader.batch_size]
+            x = jax.device_put(as_wire_format(ds.gather(np.sort(idx))))
+            if x.dtype == jnp.uint16:
+                x = jax.lax.bitcast_convert_type(x, jnp.bfloat16)
+            m = self._eval_fn(self.params, x, lam)
+            m = {k: float(v) for k, v in m.items()}
+            sums = m if sums is None else {k: sums[k] + m[k] for k in m}
+        return {k: v / max(n, 1) for k, v in (sums or {}).items()}
 
     # -- training ---------------------------------------------------------
 

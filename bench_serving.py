@@ -1,0 +1,71 @@
+"""Serving benchmark: batched one-shot conversion throughput (conversions/s).
+
+The BASELINE.json serving config: a speakers x contents cross-conversion
+grid through one padded model batch + one batched TPU Griffin-Lim call
+(infer/inferencer.py convert_grid). Prints one JSON line.
+
+Run separately from bench.py (the driver's canonical metric is training
+throughput); both share the one-chip TPU.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from adaptive_voice_conversion_tpu.core.config import TrainConfig
+    from adaptive_voice_conversion_tpu.infer.inferencer import Inferencer
+    from adaptive_voice_conversion_tpu.models import init_ae
+
+    cfg = TrainConfig()
+    params = init_ae(jax.random.PRNGKey(0), cfg.model)
+    rng = np.random.default_rng(0)
+    attr = {
+        "mean": np.zeros(512, np.float32),
+        "std": np.ones(512, np.float32),
+    }
+    import pickle, tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+        pickle.dump(attr, f)
+        attr_path = f.name
+    inf = Inferencer(cfg, params, attr_path)
+
+    # 4 sources x 8 targets of ~1.6s utterances (seg-128-like lengths)
+    n_src, n_tgt, t_len = 4, 8, 128
+    srcs = [rng.standard_normal((t_len, 512)).astype(np.float32) for _ in range(n_src)]
+    tgts = [
+        rng.standard_normal((96 + 8 * i, 512)).astype(np.float32)
+        for i in range(n_tgt)
+    ]
+
+    # warmup/compile
+    wavs = inf.convert_grid(srcs, tgts)
+    n_conv = len(wavs)
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        wavs = inf.convert_grid(srcs, tgts)
+    dt = (time.time() - t0) / reps
+    audio_s = n_conv * t_len * cfg.signal.hop_length / cfg.signal.sr
+    print(
+        json.dumps(
+            {
+                "metric": "one_shot_conversions_per_sec",
+                "value": round(n_conv / dt, 2),
+                "unit": "conversions/s",
+                "vs_baseline": None,
+                "grid": f"{n_src}x{n_tgt} seg{t_len} gl{cfg.signal.n_iter}",
+                "audio_s_per_s": round(audio_s / dt, 1),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

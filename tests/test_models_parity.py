@@ -293,3 +293,25 @@ def test_dropout_active_when_not_deterministic():
         params, cfg, x, dropout_key=jax.random.PRNGKey(7), deterministic=False
     )
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_torch_export_roundtrip(tmp_path):
+    """params -> torch ckpt -> params is the identity (and the ckpt loads
+    with plain torch.load)."""
+    import torch
+
+    from adaptive_voice_conversion_tpu.models import (
+        save_torch_checkpoint,
+        torch_state_dict_to_params,
+    )
+
+    cfg = AEConfig(speaker_encoder=SE_CFG, content_encoder=CE_CFG, decoder=DE_CFG)
+    params = init_ae(jax.random.PRNGKey(9), cfg)
+    path = str(tmp_path / "export.ckpt")
+    save_torch_checkpoint(params, cfg, path)
+    sd = torch.load(path, weights_only=True)
+    params2 = torch_state_dict_to_params(sd, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
