@@ -315,3 +315,38 @@ def test_torch_export_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lrelu_and_bank_scale_2_parity():
+    """Non-default config knobs: act='lrelu' (slope 0.01) and bank_scale=2
+    (kernels 2,4,6,8) against the torch oracle."""
+    cfg = SpeakerEncoderConfig(
+        c_in=16, c_h=8, c_out=8, kernel_size=5, bank_size=8, bank_scale=2,
+        c_bank=4, n_conv_blocks=2, n_dense_blocks=1, subsample=(1, 2),
+        act="lrelu", dropout_rate=0.0,
+    )
+    params = init_speaker_encoder(jax.random.PRNGKey(5), cfg)
+    x = RNG.standard_normal((2, 32, 16)).astype(np.float32)
+    ours = speaker_encoder_apply(params, cfg, jnp.asarray(x))
+
+    # torch oracle with leaky relu
+    act = lambda v: F.leaky_relu(v, 0.01)
+    xt = to_torch_nct(x)
+    ks = list(range(2, 9, 2))
+    outs = [act(pad_conv(xt, p)) for p in params["conv_bank"]]
+    out = torch.cat(outs + [xt], dim=1)
+    out = act(pad_conv(out, params["in_conv"]))
+    for l in range(2):
+        sub = cfg.subsample[l]
+        y = act(pad_conv(out, params["conv_blocks"][l]["first"]))
+        y = act(pad_conv(y, params["conv_blocks"][l]["second"], stride=sub))
+        if sub > 1:
+            out = F.avg_pool1d(out, kernel_size=sub, ceil_mode=True)
+        out = y + out
+    out = F.adaptive_avg_pool1d(out, 1).squeeze(2)
+    for l in range(1):
+        y = act(lin(out, params["dense_blocks"][l]["first"]))
+        y = act(lin(y, params["dense_blocks"][l]["second"]))
+        out = y + out
+    theirs = lin(out, params["output"])
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=2e-4)
