@@ -36,23 +36,18 @@ def loss_terms(cfg: TrainConfig, params, x, rng, deterministic=True):
     return loss_rec, loss_kl, (mu, log_sigma, emb, dec)
 
 
-def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None):
-    """Build (init_fn, step_fn).
-
-    step_fn(params, opt_state, x, rng, lambda_kl) ->
-        (params, opt_state, metrics) with metrics = {loss_rec, loss_kl,
-        loss, grad_norm} (grad_norm is the pre-clip global norm, like torch
-        clip_grad_norm_'s return value).
-    """
-    opt = make_optimizer(cfg.optimizer)
-    any_dropout = (
+def _any_dropout(cfg: TrainConfig) -> bool:
+    return (
         cfg.model.speaker_encoder.dropout_rate > 0
         or cfg.model.content_encoder.dropout_rate > 0
         or cfg.model.decoder.dropout_rate > 0
     )
 
-    def init_fn(params):
-        return opt.init(params)
+
+def build_step_fn(cfg: TrainConfig, opt):
+    """The un-jitted fwd+bwd+update step shared by the replicated
+    (make_train_step) and tensor-parallel (parallel/tp.py) trainers."""
+    any_dropout = _any_dropout(cfg)
 
     def _step(params, opt_state, x, rng, lambda_kl):
         if x.dtype == jnp.uint16:
@@ -79,6 +74,24 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None):
             "grad_norm": grad_norm,
         }
         return params, opt_state, metrics
+
+    return _step
+
+
+def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None):
+    """Build (init_fn, step_fn).
+
+    step_fn(params, opt_state, x, rng, lambda_kl) ->
+        (params, opt_state, metrics) with metrics = {loss_rec, loss_kl,
+        loss, grad_norm} (grad_norm is the pre-clip global norm, like torch
+        clip_grad_norm_'s return value).
+    """
+    opt = make_optimizer(cfg.optimizer)
+
+    def init_fn(params):
+        return opt.init(params)
+
+    _step = build_step_fn(cfg, opt)
 
     if mesh is None:
         step = jax.jit(_step, donate_argnums=(0, 1))

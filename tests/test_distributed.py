@@ -87,3 +87,58 @@ def test_eval_step_sharded(mesh8):
 def test_mesh_2d_tensor_axis():
     mesh = make_mesh(n_data=4, n_model=2)
     assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+
+def test_tp_step_matches_single_device():
+    """dp4 x tp2: channel-sharded params + batch sharding must reproduce the
+    single-device training step (grad psum over 'data', channel-contraction
+    reductions over 'model' — both inserted by GSPMD)."""
+    from adaptive_voice_conversion_tpu.parallel.tp import (
+        make_tp_train_step,
+        shard_params_tp,
+        tp_param_specs,
+    )
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = init_ae(jax.random.PRNGKey(0), TINY.model)
+    x = batch(b=8)
+    rng = jax.random.PRNGKey(3)
+    lam = jnp.float32(0.7)
+
+    init1, step1 = make_train_step(TINY, mesh=None)
+    p1 = jax.tree.map(jnp.array, params)
+    s1 = init1(p1)
+    p1, s1, m1 = step1(p1, s1, x, rng, lam)
+
+    init_tp, step_tp = make_tp_train_step(TINY, mesh)
+    ptp = shard_params_tp(jax.tree.map(jnp.array, params), mesh)
+    # at least one leaf must actually be channel-sharded over 'model'
+    sharded_leaves = [
+        l
+        for l in jax.tree.leaves(ptp)
+        if len({s.data.shape for s in l.addressable_shards}) == 1
+        and next(iter({s.data.shape for s in l.addressable_shards})) != l.shape
+    ]
+    assert sharded_leaves, "tp specs produced a fully replicated tree"
+    stp = init_tp(ptp)
+    xtp = jax.device_put(x, batch_sharding(mesh))
+    ptp, stp, mtp = step_tp(ptp, stp, xtp, rng, lam)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(mtp["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(mtp["grad_norm"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(ptp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-6, rtol=1e-5
+        )
+
+    # Megatron pairing: 'first' convs column-parallel, 'second' row-parallel
+    specs = tp_param_specs(params, 2)
+    flat = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_flatten_with_path(specs)[0]
+    }
+    assert flat["['content_encoder']['conv_blocks'][0]['first']['w']"][-1] == "model"
+    assert flat["['content_encoder']['conv_blocks'][0]['second']['w']"][-2] == "model"
+    assert flat["['content_encoder']['conv_blocks'][0]['second']['b']"] == ()
