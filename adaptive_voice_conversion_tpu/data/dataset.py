@@ -72,6 +72,8 @@ class SegmentDataset:
         self.packed = packed
         self.utt_ids = utt_ids
         self.n_mels = n_mels
+        self._id_to_row = id_to_row
+        self._offsets = offsets
 
         # absolute start row of every indexed segment
         rows = np.array([id_to_row[u] for u, _ in indexes], dtype=np.int64)
@@ -97,9 +99,11 @@ class SegmentDataset:
         return self.packed[rows]
 
     def get_utterance(self, utt_id: str) -> np.ndarray:
-        i = self.utt_ids.index(utt_id)
-        # reconstruct slice bounds from starts is not possible; keep simple:
-        raise NotImplementedError("use the pickle directly for full utterances")
+        """Full (T, n_mels) float32 mel for one utterance, sliced out of the
+        packed array via the retained row offsets."""
+        i = self._id_to_row[utt_id]
+        out = self.packed[self._offsets[i] : self._offsets[i + 1]]
+        return np.asarray(out, dtype=np.float32)
 
 
 class EvalSegmentSampler:

@@ -287,6 +287,7 @@ class Solver:
         )
         t_start = time.time()
         last_metrics = {}
+        metrics = {}
         steps_done = 0
         for it in range(self.iteration, self.iteration + n_iterations):
             lam = kl_lambda(it, c.loss.lambda_kl, c.annealing_iters)

@@ -93,3 +93,11 @@ def test_multi_host_slices_are_disjoint_and_cover(artifacts):
         for h in range(4)
     ]
     np.testing.assert_array_equal(np.concatenate(parts, axis=0), full)
+
+
+def test_get_utterance_roundtrip(artifacts):
+    """Full-utterance retrieval from the packed array matches the pickle."""
+    pkl, idx, data, index, seg = artifacts
+    ds = SegmentDataset(pkl, idx, segment_size=seg)
+    for u, arr in data.items():
+        np.testing.assert_array_equal(ds.get_utterance(u), arr)

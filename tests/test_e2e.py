@@ -102,3 +102,11 @@ def test_solver_checkpoint_resume_is_deterministic(data_dir):
     m_cont = s1.train(5, log_every_print=False)
     m_res = s2.train(5, log_every_print=False)
     np.testing.assert_allclose(m_res["loss"], m_cont["loss"], rtol=1e-5)
+
+
+def test_solver_zero_iterations(data_dir):
+    """train(0) must not crash (reference main.py:31 gates on iters > 0 —
+    we handle it gracefully instead)."""
+    solver = Solver(TINY, make_args(data_dir))
+    m = solver.train(0, log_every_print=False)
+    assert isinstance(m, dict)
