@@ -126,11 +126,19 @@ class TrainConfig:
     # TPU-native knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "bfloat16" for mixed-precision training
     data_dtype: str = "float32"  # "bfloat16" halves host gather + H2D bytes
-    # input pipeline: "device" keeps the packed dataset in HBM and samples
-    # segments on-device inside a scanned multi-step program; "host" streams
-    # batches; "auto" picks "device" when the dataset fits the budget
+    # input pipeline:
+    #   "device"         packed dataset resident in HBM, on-device sampling
+    #   "device_sharded" dataset sharded over the 'data' mesh axis — each
+    #                    device holds a disjoint shard (aggregate-HBM capacity)
+    #   "chunked"        double-buffered fixed-size HBM chunks streamed from
+    #                    host for datasets larger than HBM (data/chunked.py)
+    #   "host"           per-step host batches (multi-process fallback)
+    #   "auto"           device if it fits the budget, else device_sharded if
+    #                    it fits the mesh aggregate, else chunked (host when
+    #                    multi-process)
     input_mode: str = "auto"
     device_data_budget_bytes: int = 6_000_000_000
+    chunk_bytes: int = 0  # chunked mode chunk size; 0 = budget // 3
     inner_steps: int = 10  # train steps fused per XLA call in device mode
 
 
@@ -176,6 +184,7 @@ def config_from_dict(raw: dict) -> TrainConfig:
         device_data_budget_bytes=int(
             raw.get("device_data_budget_bytes", 6_000_000_000)
         ),
+        chunk_bytes=int(raw.get("chunk_bytes", 0)),
         inner_steps=int(raw.get("inner_steps", 10)),
     )
 
@@ -200,6 +209,7 @@ def config_to_dict(cfg: TrainConfig) -> dict:
         "data_dtype": cfg.data_dtype,
         "input_mode": cfg.input_mode,
         "device_data_budget_bytes": cfg.device_data_budget_bytes,
+        "chunk_bytes": cfg.chunk_bytes,
         "inner_steps": cfg.inner_steps,
     }
 

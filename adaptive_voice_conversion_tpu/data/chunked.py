@@ -1,0 +1,156 @@
+"""Double-buffered HBM chunk streaming for datasets larger than device HBM.
+
+The reference's scale ceiling is host RAM: every DataLoader worker unpickles
+the full dataset (data_utils.py:45-46) and each batch crosses host->device
+per step. Our device-resident path (device_sampler.py) is bounded by HBM
+instead. This module removes that bound for single-chip training:
+
+- The packed mel array is cut into fixed-size row windows ("chunks") of
+  exactly R rows each. A chunk is a contiguous, ZERO-COPY view of the host
+  packed array — the DMA engine reads straight out of the loader's memory;
+  the 2-vCPU host never copies a byte.
+- Every chunk has the same shape, and its (padded) start list is bounded by
+  a traced ``n_starts`` scalar, so ONE compiled multi-step program serves
+  all chunks (train/step.py padded_starts=True).
+- While the TPU trains ``k`` fused steps on the resident chunk, the next
+  chunk's transfer is already in flight (jax.device_put is async) — compute
+  and H2D overlap, keeping throughput near the device-resident headline.
+
+Sampling semantics: chunks are visited in a seeded per-epoch permutation;
+within a visit, segments are drawn uniformly from the chunk and the visit
+length is proportional to the chunk's segment count — epoch-wise this is
+uniform-over-segments, matching the reference index sampler
+(sample_single_segments.py:24-29) at shuffle-buffer granularity. Segments
+whose 128 rows straddle a chunk edge are excluded and COUNTED
+(``dropped_segments``), never silently lost; with multi-GB chunks the loss
+is O(seg/R) ~ 1e-5.
+
+The schedule is a pure function of (seed, epoch) — resume from any global
+step replays the identical chunk/segment sequence (deterministic cursor,
+same property the host path has).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .dataset import SegmentDataset
+
+
+@dataclass
+class Visit:
+    chunk_id: int
+    it0: int  # global step at which this visit starts
+    k: int  # number of steps in this visit
+
+
+class ChunkedDeviceStreamer:
+    def __init__(
+        self,
+        dataset: SegmentDataset,
+        chunk_bytes: int,
+        batch_size: int,
+        inner_steps: int = 10,
+        seed: int = 0,
+    ):
+        packed = dataset.packed
+        seg = dataset.segment_size
+        itemsize = packed.dtype.itemsize
+        n_mels = packed.shape[1]
+        total_rows = packed.shape[0]
+        R = max(int(chunk_bytes // (n_mels * itemsize)), 4 * seg)
+        R = min(R, total_rows)
+        n_chunks = -(-total_rows // R)
+
+        starts = np.sort(dataset.starts)
+        chunk_starts: List[np.ndarray] = []
+        dropped = 0
+        for c in range(n_chunks):
+            r0 = c * R
+            lo = np.searchsorted(starts, r0, side="left")
+            hi = np.searchsorted(starts, r0 + R - seg, side="right")
+            chunk_starts.append((starts[lo:hi] - r0).astype(np.int32))
+        dropped = len(starts) - sum(len(s) for s in chunk_starts)
+
+        s_max = max((len(s) for s in chunk_starts), default=0)
+        self.starts_padded = np.zeros((n_chunks, s_max), dtype=np.int32)
+        self.n_starts = np.zeros(n_chunks, dtype=np.int64)
+        for c, s in enumerate(chunk_starts):
+            self.starts_padded[c, : len(s)] = s
+            self.n_starts[c] = len(s)
+
+        # last chunk: pad to R rows once so all chunks share one XLA program
+        self._tail = None
+        if total_rows % R:
+            tail = np.zeros((R, n_mels), dtype=packed.dtype)
+            tail[: total_rows - (n_chunks - 1) * R] = packed[(n_chunks - 1) * R :]
+            self._tail = tail
+
+        self.packed = packed
+        self.R = R
+        self.n_chunks = n_chunks
+        self.segment_size = seg
+        self.batch_size = batch_size
+        self.inner_steps = inner_steps
+        self.seed = seed
+        self.dropped_segments = int(dropped)
+        self.total_segments = int(self.n_starts.sum())
+        # nominal steps per epoch: one pass over all usable segments
+        self.epoch_steps = max(
+            inner_steps, -(-self.total_segments // batch_size)
+        )
+
+    # -- host views ---------------------------------------------------------
+
+    def chunk_view(self, chunk_id: int) -> np.ndarray:
+        """Zero-copy (R, n_mels) window of the packed host array."""
+        if self._tail is not None and chunk_id == self.n_chunks - 1:
+            return self._tail
+        return self.packed[chunk_id * self.R : (chunk_id + 1) * self.R]
+
+    def put_chunk(self, chunk_id: int, put=jax.device_put):
+        """Begin the async H2D transfer; returns device arrays immediately."""
+        wire = self.chunk_view(chunk_id)
+        if wire.dtype != np.float32:
+            wire = wire.view(np.uint16)  # bf16 wire format
+        return (
+            put(wire),
+            put(self.starts_padded[chunk_id]),
+            np.int32(self.n_starts[chunk_id]),
+        )
+
+    # -- deterministic schedule ----------------------------------------------
+
+    def _epoch_visits(self, epoch: int) -> List[Tuple[int, int]]:
+        """[(chunk_id, k_steps)] for one epoch; pure function of (seed, epoch)."""
+        rng = np.random.default_rng((self.seed, epoch))
+        order = rng.permutation(self.n_chunks)
+        inner = self.inner_steps
+        ks = []
+        for c in order:
+            frac = self.n_starts[c] / max(self.total_segments, 1)
+            k = int(round(self.epoch_steps * frac / inner)) * inner
+            ks.append((int(c), max(k, inner)))
+        return ks
+
+    def schedule(self, start_step: int, n_steps: int) -> Iterator[Visit]:
+        """Visits covering global steps [start_step, start_step + n_steps)."""
+        it, epoch = 0, 0
+        end = start_step + n_steps
+        while it < end:
+            for c, k in self._epoch_visits(epoch):
+                if it + k <= start_step:
+                    it += k
+                    continue
+                v0 = max(it, start_step)
+                vk = min(it + k, end) - v0
+                if vk > 0:
+                    yield Visit(chunk_id=c, it0=v0, k=vk)
+                it += k
+                if it >= end:
+                    return
+            epoch += 1

@@ -63,9 +63,15 @@ def sample_segments(
     segment_size: int,
     batch_size: int,
     key: jax.Array,
+    n_valid=None,
 ) -> jnp.ndarray:
-    """Uniform segment batch (B, seg, n_mels) — callable inside jit."""
-    sel = jax.random.randint(key, (batch_size,), 0, starts.shape[0])
+    """Uniform segment batch (B, seg, n_mels) — callable inside jit.
+
+    ``n_valid`` (traced int32 scalar) bounds the draw to the first n_valid
+    entries of a padded ``starts`` array, letting one compiled program serve
+    HBM chunks with differing segment counts (data/chunked.py)."""
+    hi = starts.shape[0] if n_valid is None else n_valid
+    sel = jax.random.randint(key, (batch_size,), 0, hi)
     s = starts[sel]
     idx = s[:, None] + jnp.arange(segment_size)[None, :]
     return packed[idx]

@@ -77,22 +77,53 @@ class Solver:
             segment_size=c.data_loader.segment_size,
             storage_dtype=c.data_dtype,
         )
-        if c.input_mode == "device":
-            self.device_mode = True
-        elif c.input_mode == "host":
-            self.device_mode = False
-        else:  # auto
-            self.device_mode = (
-                self.dataset.packed.nbytes <= c.device_data_budget_bytes
-                and jax.process_count() == 1
-            )
+        dtype = (
+            "bfloat16"
+            if "bfloat16" in (c.data_dtype, c.compute_dtype)
+            else "float32"
+        )
+        itemsize = 2 if dtype == "bfloat16" else 4
+        wire_bytes = int(self.dataset.packed.size) * itemsize
+        n_data = int(self.mesh.shape.get("data", 1)) if self.mesh else 1
+
+        mode = c.input_mode
+        if mode == "auto":
+            if jax.process_count() > 1:
+                mode = "host"
+            elif wire_bytes <= c.device_data_budget_bytes:
+                mode = "device"
+            elif n_data > 1 and wire_bytes <= c.device_data_budget_bytes * n_data:
+                mode = "device_sharded"
+            else:
+                mode = "chunked"
+        if mode == "device_sharded" and (self.mesh is None or n_data < 2):
+            mode = "device"
+        self.data_mode = mode
+        self.device_mode = mode in ("device", "device_sharded")
+
         self.device_data = None
-        if self.device_mode:
+        self.chunked = None
+        if mode == "device":
             from ..data.device_sampler import DeviceResidentDataset
 
-            dtype = "bfloat16" if "bfloat16" in (c.data_dtype, c.compute_dtype) else "float32"
             self.device_data = DeviceResidentDataset(
                 self.dataset, mesh=self.mesh, dtype=dtype
+            )
+        elif mode == "device_sharded":
+            from ..data.sharded import ShardedDeviceDataset
+
+            self.device_data = ShardedDeviceDataset(
+                self.dataset, mesh=self.mesh, dtype=dtype
+            )
+        elif mode == "chunked":
+            from ..data.chunked import ChunkedDeviceStreamer
+
+            self.chunked = ChunkedDeviceStreamer(
+                self.dataset,
+                chunk_bytes=c.chunk_bytes or c.device_data_budget_bytes // 3,
+                batch_size=c.data_loader.batch_size,
+                inner_steps=c.inner_steps,
+                seed=a.seed,
             )
 
     def _build_model(self):
@@ -101,7 +132,14 @@ class Solver:
         self.params = init_ae(key, c.model)
         if self.device_mode:
             init_fn, self.multi_step_fn = make_device_data_train_step(
-                c, self.mesh, inner_steps=c.inner_steps
+                c,
+                self.mesh,
+                inner_steps=c.inner_steps,
+                sharded_data=(self.data_mode == "device_sharded"),
+            )
+        elif self.data_mode == "chunked":
+            init_fn, self.multi_step_fn = make_device_data_train_step(
+                c, self.mesh, inner_steps=c.inner_steps, padded_starts=True
             )
         else:
             init_fn, self.step_fn = make_train_step(c, self.mesh)
@@ -190,7 +228,91 @@ class Solver:
     def train(self, n_iterations: int, log_every_print: bool = True) -> dict:
         if self.device_mode:
             return self._train_device(n_iterations, log_every_print)
+        if self.data_mode == "chunked":
+            return self._train_chunked(n_iterations, log_every_print)
         return self._train_host(n_iterations, log_every_print)
+
+    def _summary_row(self, ms, steps_done, t_start, audio_s_per_batch):
+        row = np.asarray(ms[-1])
+        return {
+            "loss": float(row[0]),
+            "loss_rec": float(row[1]),
+            "loss_kl": float(row[2]),
+            "grad_norm": float(row[3]),
+            "audio_sec_per_sec": steps_done
+            * audio_s_per_batch
+            / max(time.time() - t_start, 1e-9),
+        }
+
+    def _train_chunked(self, n_iterations: int, log_every_print: bool) -> dict:
+        """>HBM datasets: double-buffered chunk streaming (data/chunked.py).
+        The next chunk's H2D transfer is dispatched before the fused
+        multi-step programs run on the resident chunk, so transfer and
+        compute overlap; one compiled program serves every chunk."""
+        c, a = self.config, self.args
+        K = c.inner_steps
+        base_key = jax.random.PRNGKey(a.seed + 1)
+        audio_s_per_batch = (
+            c.data_loader.batch_size
+            * c.data_loader.segment_size
+            * c.signal.hop_length
+            / c.signal.sr
+        )
+        visits = list(self.chunked.schedule(self.iteration, n_iterations))
+        t_start = time.time()
+        end = self.iteration + n_iterations
+        steps_done = 0
+        last_summary = None
+        remainder_fns = {}
+        dev = self.chunked.put_chunk(visits[0].chunk_id) if visits else None
+        for vi, v in enumerate(visits):
+            nxt = visits[vi + 1] if vi + 1 < len(visits) else None
+            if nxt is not None and nxt.chunk_id != v.chunk_id:
+                next_dev = self.chunked.put_chunk(nxt.chunk_id)
+            else:
+                next_dev = dev
+            packed, starts, n_starts = dev
+            it, endv = v.it0, v.it0 + v.k
+            while it < endv:
+                k = min(K, endv - it)
+                if k == K:
+                    fn = self.multi_step_fn
+                else:
+                    if k not in remainder_fns:
+                        _, remainder_fns[k] = make_device_data_train_step(
+                            c, self.mesh, inner_steps=k, padded_starts=True
+                        )
+                    fn = remainder_fns[k]
+                self.params, self.opt_state, ms = fn(
+                    self.params, self.opt_state, packed, starts,
+                    jnp.int32(n_starts), base_key, jnp.int32(it),
+                )
+                it += k
+                steps_done += k
+                crossed = (it - 1) // a.summary_steps != (
+                    it - k - 1
+                ) // a.summary_steps or it == end
+                if crossed:
+                    m = self._summary_row(
+                        ms, steps_done, t_start, audio_s_per_batch
+                    )
+                    self.logger.scalars_summary(f"{a.tag}/ae_train", m, it - 1)
+                    last_summary = m
+                    if log_every_print and jax.process_index() == 0:
+                        print(
+                            f"AE:[{it}/{end}], loss_rec={m['loss_rec']:.2f}, "
+                            f"loss_kl={m['loss_kl']:.2f}, "
+                            f"{m['audio_sec_per_sec']:.0f} audio-s/s",
+                            end="\r",
+                        )
+                if (it // a.save_steps) != ((it - k) // a.save_steps) or it == end:
+                    self.save_model(it - 1)
+            dev = next_dev
+        self.iteration = end
+        if hasattr(self, "_mngr"):
+            self._mngr.wait()
+        jax.block_until_ready(self.params)
+        return last_summary or {}
 
     def _train_device(self, n_iterations: int, log_every_print: bool) -> dict:
         """Device-resident path: chunks of ``inner_steps`` fused per XLA call
@@ -222,7 +344,10 @@ class Solver:
             else:
                 if remainder_fn is None:
                     _, remainder_fn = make_device_data_train_step(
-                        c, self.mesh, inner_steps=k
+                        c,
+                        self.mesh,
+                        inner_steps=k,
+                        sharded_data=(self.data_mode == "device_sharded"),
                     )
                 self.params, self.opt_state, ms = remainder_fn(
                     self.params, self.opt_state, packed, starts, base_key,

@@ -108,7 +108,11 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None):
 
 
 def make_device_data_train_step(
-    cfg: TrainConfig, mesh: Optional[Mesh] = None, inner_steps: int = 10
+    cfg: TrainConfig,
+    mesh: Optional[Mesh] = None,
+    inner_steps: int = 10,
+    sharded_data: bool = False,
+    padded_starts: bool = False,
 ):
     """Multi-step trainer over a device-resident dataset
     (data/device_sampler.py): one XLA call runs ``inner_steps`` iterations of
@@ -122,6 +126,16 @@ def make_device_data_train_step(
                grad_norm])
     RNG discipline matches the host path: step i uses fold_in(base_key,
     it0 + i), so resume mid-run is deterministic.
+
+    ``sharded_data=True``: packed/starts are a ShardedDeviceDataset's stacked
+    arrays sharded P('data'); each device samples its batch share from its
+    own HBM shard (data/sharded.py) — aggregate-HBM capacity, zero sampling
+    communication. Per-device RNG additionally folds in the device index.
+
+    ``padded_starts=True``: the returned fn takes an extra int32 ``n_starts``
+    argument after ``starts`` giving the number of VALID entries; starts may
+    be padded to a fixed length so differently-sized HBM chunks reuse one
+    compiled program (data/chunked.py double-buffered >HBM streaming).
     """
     opt = make_optimizer(cfg.optimizer)
     b = cfg.data_loader.batch_size
@@ -131,13 +145,21 @@ def make_device_data_train_step(
         or cfg.model.content_encoder.dropout_rate > 0
         or cfg.model.decoder.dropout_rate > 0
     )
+    if sharded_data and padded_starts:
+        raise NotImplementedError("sharded_data with padded_starts")
+    if sharded_data and mesh is None:
+        raise ValueError("sharded_data requires a mesh")
 
     from ..data.device_sampler import sample_segments
+    from ..data.sharded import sample_segments_sharded
 
     def init_fn(params):
         return opt.init(params)
 
-    def _multi_step(params, opt_state, packed, starts, base_key, it0):
+    def _multi_step(params, opt_state, packed, starts, n_starts, base_key, it0):
+        if packed.dtype == jnp.uint16:
+            # bf16 wire format (chunked streaming sends raw views)
+            packed = jax.lax.bitcast_convert_type(packed, jnp.bfloat16)
         batch_spec = (
             NamedSharding(mesh, P("data")) if mesh is not None else None
         )
@@ -146,7 +168,10 @@ def make_device_data_train_step(
             params, opt_state = carry
             key = jax.random.fold_in(base_key, it0 + i)
             k_idx, k_step = jax.random.split(key)
-            x = sample_segments(packed, starts, seg, b, k_idx)
+            if sharded_data:
+                x = sample_segments_sharded(packed, starts, seg, b, k_idx, mesh)
+            else:
+                x = sample_segments(packed, starts, seg, b, k_idx, n_valid=n_starts)
             if batch_spec is not None:
                 x = jax.lax.with_sharding_constraint(x, batch_spec)
             lam = kl_lambda(it0 + i, cfg.loss.lambda_kl, cfg.annealing_iters)
@@ -175,13 +200,25 @@ def make_device_data_train_step(
         )
         return params, opt_state, ms
 
+    if padded_starts:
+        wrapped = _multi_step
+    else:
+        def wrapped(params, opt_state, packed, starts, base_key, it0):
+            return _multi_step(
+                params, opt_state, packed, starts, None, base_key, it0
+            )
+
+    n_extra = 1 if padded_starts else 0
     if mesh is None:
-        step = jax.jit(_multi_step, donate_argnums=(0, 1))
+        step = jax.jit(wrapped, donate_argnums=(0, 1))
     else:
         repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("data")) if sharded_data else repl
         step = jax.jit(
-            _multi_step,
-            in_shardings=(repl, repl, repl, repl, repl, repl),
+            wrapped,
+            in_shardings=(repl, repl, data_sh, data_sh)
+            + (repl,) * n_extra
+            + (repl, repl),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1),
         )
