@@ -48,21 +48,37 @@ def _round_up(x: int, m: int) -> int:
 
 @lru_cache(maxsize=4)
 def _dft_mel_constants(sr: int, n_fft: int, win_length: int, n_mels: int):
-    """(W_cos, W_sin) (n_fft, F_pad) with the window folded in, and the
-    transposed mel matrix (F_pad, n_mels)."""
+    """(W_cos, W_sin) (S_pad, F_pad) with the window folded in, the transposed
+    mel matrix (F_pad, n_mels), and the sample-support offset.
+
+    The Hann window is zero outside its centered ``win_length`` samples, so
+    the DFT contraction only needs the window's support: rows of diag(w) @ W
+    outside [off, off + win_length) vanish. For the reference config
+    (n_fft 2048, win 1200) this cuts the contraction dim 2048 -> 1280,
+    a 1.6x FLOP saving on the dominant matmuls.
+
+    Returns NUMPY arrays (converted at the pallas_call site): caching
+    jnp arrays would leak tracers when first materialized inside a trace.
+    """
     n_freq = 1 + n_fft // 2
     f_pad = _round_up(n_freq, FREQ_BLOCK)
     w = hann_window(win_length, n_fft)  # (n_fft,)
-    n = np.arange(n_fft)[:, None]
+    support = np.nonzero(w != 0.0)[0]
+    s_lo = int(support[0]) if support.size else 0
+    s_hi = int(support[-1]) + 1 if support.size else n_fft
+    s_pad = _round_up(s_hi - s_lo, 128)
+    off = max(0, min(s_lo, n_fft - s_pad))
+    n = np.arange(off, off + s_pad)[:, None]
     k = np.arange(n_freq)[None, :]
     ang = -2.0 * np.pi * n * k / n_fft
-    w_cos = (w[:, None] * np.cos(ang)).astype(np.float32)
-    w_sin = (w[:, None] * np.sin(ang)).astype(np.float32)
+    w_sup = w[off : off + s_pad, None]
+    w_cos = (w_sup * np.cos(ang)).astype(np.float32)
+    w_sin = (w_sup * np.sin(ang)).astype(np.float32)
     w_cos = np.pad(w_cos, ((0, 0), (0, f_pad - n_freq)))
     w_sin = np.pad(w_sin, ((0, 0), (0, f_pad - n_freq)))
     mel_t = mel_filterbank(sr, n_fft, n_mels).T.astype(np.float32)  # (n_freq, M)
     mel_t = np.pad(mel_t, ((0, f_pad - n_freq), (0, 0)))
-    return jnp.asarray(w_cos), jnp.asarray(w_sin), jnp.asarray(mel_t)
+    return w_cos, w_sin, mel_t, off
 
 
 def _kernel(frames_ref, wcos_ref, wsin_ref, melt_ref, out_ref, *, n_f_steps,
@@ -109,10 +125,14 @@ def stft_mel_pallas(
     t, n_fft = frames.shape
     assert n_fft == cfg.n_fft
     assert t % FRAME_BLOCK == 0, "pad frames to a FRAME_BLOCK multiple"
-    w_cos, w_sin, mel_t = _dft_mel_constants(
+    w_cos_np, w_sin_np, mel_t_np, off = _dft_mel_constants(
         cfg.sr, cfg.n_fft, cfg.win_length, cfg.n_mels
     )
-    f_pad = w_cos.shape[1]
+    s_pad, f_pad = w_cos_np.shape
+    frames = jax.lax.slice_in_dim(frames, off, off + s_pad, axis=1)
+    w_cos, w_sin, mel_t = (
+        jnp.asarray(w_cos_np), jnp.asarray(w_sin_np), jnp.asarray(mel_t_np)
+    )
     n_f_steps = f_pad // FREQ_BLOCK
     grid = (t // FRAME_BLOCK, n_f_steps)
     kernel = partial(
@@ -123,15 +143,15 @@ def stft_mel_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (FRAME_BLOCK, n_fft), lambda i, f: (i, 0),
+                (FRAME_BLOCK, s_pad), lambda i, f: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n_fft, FREQ_BLOCK), lambda i, f: (0, f),
+                (s_pad, FREQ_BLOCK), lambda i, f: (0, f),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n_fft, FREQ_BLOCK), lambda i, f: (0, f),
+                (s_pad, FREQ_BLOCK), lambda i, f: (0, f),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -146,10 +166,10 @@ def stft_mel_pallas(
         out_shape=jax.ShapeDtypeStruct((t, cfg.n_mels), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * t * n_fft * f_pad * 2 + 2 * t * f_pad * cfg.n_mels,
+            flops=2 * t * s_pad * f_pad * 2 + 2 * t * f_pad * cfg.n_mels,
             bytes_accessed=(
-                t * n_fft * 4
-                + 2 * n_fft * f_pad * 4
+                t * s_pad * 4
+                + 2 * s_pad * f_pad * 4
                 + f_pad * cfg.n_mels * 4
                 + t * cfg.n_mels * 4
             ),
@@ -178,3 +198,23 @@ def mel_from_wave_pallas(
     frames = jnp.pad(frames, ((0, t_pad - t), (0, 0)))
     mel = stft_mel_pallas(frames, cfg, interpret=interpret)
     return mel[:t]
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def mel_from_wave_pallas_batch(
+    y: jnp.ndarray, cfg: SignalConfig = SignalConfig(), interpret: bool = None
+) -> jnp.ndarray:
+    """Batch of equal-length waves (B, n_samples) -> mel (B, T, n_mels).
+
+    All waves share one frame grid, so the batch is flattened into a single
+    (B*T_pad, n_fft) frame stream and the kernel runs ONCE — larger frame
+    grids keep the MXU busier than per-wave calls. The batched TPU ETL
+    featurizer (tools/etl.py use_tpu=True)."""
+    b, _ = y.shape
+    frames = jax.vmap(lambda w: _frame_signal(w, cfg))(y)  # (B, T, n_fft)
+    t = frames.shape[1]
+    t_pad = _round_up(t, FRAME_BLOCK)
+    frames = jnp.pad(frames, ((0, 0), (0, t_pad - t), (0, 0)))
+    flat = frames.reshape(b * t_pad, cfg.n_fft)
+    mel = stft_mel_pallas(flat, cfg, interpret=interpret)
+    return mel.reshape(b, t_pad, cfg.n_mels)[:, :t]

@@ -109,15 +109,69 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--sizes", default="1,2,4,8")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument(
+        "--tiny",
+        action="store_true",
+        help="reduced model/batch: for validating the sharded program on "
+        "virtual CPU devices, where full-config XLA-CPU compiles are "
+        "minutes each (wall-clock efficiency is only meaningful on real "
+        "multi-chip hardware either way)",
+    )
+    p.add_argument("--out", default=None, help="also write a JSON artifact")
     args = p.parse_args(argv)
     import dataclasses
 
     cfg = TrainConfig()
     if args.bf16:
         cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    if args.tiny:
+        from ..core.config import (
+            AEConfig,
+            ContentEncoderConfig,
+            DataLoaderConfig,
+            DecoderConfig,
+            SpeakerEncoderConfig,
+        )
+
+        cfg = dataclasses.replace(
+            cfg,
+            model=AEConfig(
+                speaker_encoder=SpeakerEncoderConfig(
+                    c_in=16, c_h=16, c_out=16, kernel_size=5, bank_size=4,
+                    bank_scale=1, c_bank=8, n_conv_blocks=2,
+                    n_dense_blocks=1, subsample=(1, 2),
+                ),
+                content_encoder=ContentEncoderConfig(
+                    c_in=16, c_h=16, c_out=16, kernel_size=5, bank_size=4,
+                    bank_scale=1, c_bank=8, n_conv_blocks=2, subsample=(1, 2),
+                ),
+                decoder=DecoderConfig(
+                    c_in=16, c_cond=16, c_h=16, c_out=16, kernel_size=5,
+                    n_conv_blocks=2, upsample=(2, 1),
+                ),
+            ),
+            data_loader=DataLoaderConfig(segment_size=32, batch_size=16),
+            inner_steps=4,
+        )
     sizes = [int(s) for s in args.sizes.split(",")]
-    for row in scaling_sweep(cfg, sizes):
+    rows = scaling_sweep(cfg, sizes)
+    for row in rows:
         print(json.dumps(row))
+    if args.out:
+        artifact = {
+            "backend": jax.default_backend(),
+            "n_devices": len(jax.devices()),
+            "virtual_devices": jax.default_backend() == "cpu",
+            "tiny_config": bool(args.tiny),
+            "note": (
+                "weak-scaling sweep; on virtual CPU devices this validates "
+                "the sharded program at each width — efficiency numbers are "
+                "only meaningful on real multi-chip hardware"
+            ),
+            "rows": rows,
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=2)
 
 
 if __name__ == "__main__":

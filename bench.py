@@ -15,14 +15,28 @@ throughput on this host's CPU (torch, 2 threads, functionally identical
 model/step; measured once on this machine = 30.3 audio-s/s — the reference
 publishes no numbers and its GPU path needs CUDA; see BASELINE.md).
 
-Extra fields: host-streamed throughput (the fallback path for datasets
-exceeding HBM) and step timings.
+Extra fields:
+- mfu / hbm_utilization / roofline_bound: analytic FLOP + HBM-byte
+  accounting (utils/roofline.py) against the chip's public peak rates —
+  what fraction of the hardware the step actually achieves, and the top
+  FLOP sinks by op class.
+- chunked-streaming throughput on a synthetic dataset ≥2x device HBM
+  (data/chunked.py double-buffered windows) — the corpus-scale path the
+  full VCTK train_128.pkl (~13.5 GB bf16) actually takes.
+- host-streamed throughput (the per-batch H2D fallback) and step timings.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def _note(msg: str) -> None:
+    print(f"# [{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 # Reference-equivalent torch-CPU training throughput measured on this host
 # (2 vCPUs, torch 2.13 cpu, batch 8 scaled linearly; see BASELINE.md).
@@ -41,6 +55,15 @@ def main() -> None:
     import json as _json
 
     import jax
+
+    # Persistent XLA compilation cache: the three step programs cost
+    # minutes to compile on this 2-vCPU host; repeat bench runs reuse them.
+    from adaptive_voice_conversion_tpu.core.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
     import jax.numpy as jnp
 
     from adaptive_voice_conversion_tpu.core.config import TrainConfig
@@ -95,6 +118,7 @@ def main() -> None:
     params = init_ae(jax.random.PRNGKey(0), cfg.model)
 
     # --- production path: device-resident data, scanned multi-step ---
+    _note("device-resident section: compiling fused multi-step...")
     dev = DeviceResidentDataset(ds, dtype="bfloat16")
     init_fn, multi_step = make_device_data_train_step(
         cfg, inner_steps=INNER_STEPS
@@ -118,10 +142,98 @@ def main() -> None:
     device_dt = (time.time() - t0) / (MEASURE_CHUNKS * INNER_STEPS)
     assert np.isfinite(final_ms).all()
 
-    # --- fallback path: host-streamed batches (dataset > HBM budget) ---
+    # --- corpus-scale path: double-buffered chunk streaming, dataset >= 2x HBM ---
+    from adaptive_voice_conversion_tpu.data.chunked import (
+        ChunkedDeviceStreamer,
+    )
+    from adaptive_voice_conversion_tpu.utils.roofline import (
+        device_spec,
+        mfu_and_roofline,
+    )
+
+    device_kind = jax.devices()[0].device_kind
+    spec = device_spec(device_kind)
+    hbm_bytes = 16 << 30 if spec is None else int(
+        {"TPU v5e": 16, "TPU v4": 32, "TPU v5p": 95, "TPU v6e": 32}[spec.name]
+        << 30
+    )
+    smoke = bool(int(os.environ.get("AVC_BENCH_SMOKE", "0")))
+    if smoke:  # CI/CPU smoke: tiny dataset, same code path
+        hbm_bytes = 64 << 20
+    import ml_dtypes
+
+    n_mels = 512
+    target_bytes = 2 * hbm_bytes  # >= 2x device HBM
+    block_rows = 1 << (14 if smoke else 20)
+    block_f32 = rng.standard_normal((block_rows, n_mels)).astype(np.float32)
+    # f32 -> bf16 by bit truncation (ml_dtypes astype is an elementwise
+    # software loop — ~100 MB/s; this is a vectorized shift)
+    block_u16 = (block_f32.view(np.uint32) >> 16).astype(np.uint16)
+    del block_f32
+    reps = -(-target_bytes // (block_rows * n_mels * 2))
+    _note(f"building {target_bytes >> 30} GiB synthetic corpus...")
+    # tile in uint16 space (pure memcpy; np.tile on ml_dtypes bf16 falls
+    # back to an elementwise copy loop) then reinterpret as bf16
+    big_packed = np.tile(block_u16, (reps, 1)).view(ml_dtypes.bfloat16)
+    del block_u16
+    big_rows = big_packed.shape[0]
+    big_starts = np.arange(0, big_rows - c.segment_size, 2, dtype=np.int64)
+
+    class _Shim:
+        packed = big_packed
+        starts = big_starts
+        segment_size = c.segment_size
+
+    _note("corpus built; initializing chunk streamer...")
+    streamer = ChunkedDeviceStreamer(
+        _Shim(), chunk_bytes=64 << 20, batch_size=c.batch_size,
+        inner_steps=INNER_STEPS, seed=0,
+    )
+    _, chunk_step = make_device_data_train_step(
+        cfg, inner_steps=INNER_STEPS, padded_starts=True
+    )
+    params_c = init_ae(jax.random.PRNGKey(0), cfg.model)
+    opt_c = init_fn(params_c)
+    visits = list(streamer.schedule(0, 60 if smoke else 1400))
+    _note(f"streamer ready: {streamer.n_chunks} chunks, R={streamer.R}; compiling padded multi-step + streaming...")
+    dev_chunk = streamer.put_chunk(visits[0].chunk_id)
+    steps_done = 0
+    t_chunk0 = None
+    warm_steps = 2 * INNER_STEPS
+    for vi, v in enumerate(visits):
+        nxt = visits[vi + 1] if vi + 1 < len(visits) else None
+        next_chunk = (
+            streamer.put_chunk(nxt.chunk_id)
+            if nxt is not None and nxt.chunk_id != v.chunk_id
+            else dev_chunk
+        )
+        packed_d, starts_d, n_starts = dev_chunk
+        it = v.it0
+        while it < v.it0 + v.k:
+            k = min(INNER_STEPS, v.it0 + v.k - it)
+            if k != INNER_STEPS:
+                break  # remainder tails are not worth a second compile here
+            params_c, opt_c, ms_c = chunk_step(
+                params_c, opt_c, packed_d, starts_d, jnp.int32(n_starts),
+                key, jnp.int32(it),
+            )
+            it += k
+            steps_done += k
+            if steps_done == warm_steps:
+                np.asarray(ms_c)  # sync: exclude compile from timing
+                t_chunk0 = time.time()
+        dev_chunk = next_chunk
+    np.asarray(ms_c)
+    chunked_dt = (time.time() - t_chunk0) / (steps_done - warm_steps)
+    _note(f"chunked section done: {steps_done} steps")
+    del big_packed, streamer
+    chunked_value = audio_s_per_batch / chunked_dt
+
+    # --- fallback path: host-streamed batches (per-batch H2D) ---
     init_fn_h, step = make_train_step(cfg)
     params_h = init_ae(jax.random.PRNGKey(0), cfg.model)
     opt_h = init_fn_h(params_h)
+    _note("host-stream section: compiling per-batch step...")
     it = batch_iterator(ds, c.batch_size, frame_size=c.frame_size, seed=0)
     it = device_prefetch(it, lambda x: jax.device_put(as_wire_format(x)))
     lam = jnp.float32(0.5)
@@ -135,14 +247,37 @@ def main() -> None:
     host_dt = (time.time() - t0) / 20
 
     value = audio_s_per_batch / device_dt
+
+    # --- analytic MFU / roofline for the measured device-resident step ---
+    roof = mfu_and_roofline(cfg, device_dt, device_kind)
+    by_class = roof["flops_by_class"]
+    total_f = sum(by_class.values())
+    top_sinks = sorted(by_class.items(), key=lambda kv: -kv[1])[:3]
+
     out = {
         "metric": "train_audio_s_per_s_per_chip",
         "value": round(value, 1),
         "unit": "audio-s/s",
         "vs_baseline": round(value / TORCH_CPU_BASELINE_AUDIO_S_PER_S, 1),
+        "chunked_2xHBM_audio_s_per_s": round(chunked_value, 1),
+        "chunked_vs_headline": round(chunked_value / value, 3),
         "host_stream_audio_s_per_s": round(audio_s_per_batch / host_dt, 1),
         "step_ms_device_resident": round(device_dt * 1000, 2),
+        "step_ms_chunked": round(chunked_dt * 1000, 2),
         "step_ms_host_stream": round(host_dt * 1000, 2),
+        "mfu": round(roof.get("mfu", float("nan")), 4),
+        "hbm_utilization": round(
+            roof.get("hbm_utilization", float("nan")), 4
+        ),
+        "roofline_bound": roof.get("roofline_bound"),
+        "speed_of_light_ms": round(
+            roof.get("speed_of_light_ms", float("nan")), 3
+        ),
+        "achieved_tflops": round(roof["achieved_tflops"], 2),
+        "flops_per_step": roof["flops_total"],
+        "top_flop_sinks": {
+            name: round(f / total_f, 3) for name, f in top_sinks
+        },
         "config": "batch128 seg128 bf16 device-resident K=10",
         "device": str(jax.devices()[0]),
     }

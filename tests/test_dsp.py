@@ -264,3 +264,60 @@ def test_melspectrogram2wav_end_to_end():
     assert wav.dtype == np.float32
     assert len(wav) > 1000
     assert np.isfinite(wav).all()
+
+
+# ---------------------------------------------------------------------------
+# Pinned Griffin-Lim quality metric (the BASELINE.md "GL tolerance", as a
+# number): spectral convergence SC = |||STFT(wav)| - mag||_F / ||mag||_F
+# after the reference's full 100 iterations at the FULL signal config
+# (n_fft 2048, hop 300, win 1200; reference hyperparams.py:23-31).
+# Measured on this host: direct-magnitude SC = 0.0494, mel-pinv SC = 0.1416
+# (the mel path is worse because the 512->1025 pseudo-inverse magnitude is
+# not exactly realizable). Thresholds below carry ~40% headroom.
+# ---------------------------------------------------------------------------
+
+FULL = SignalConfig()
+
+
+def _sc(mag_ref, wav, cfg):
+    est = np.abs(stft_np(wav, cfg.n_fft, cfg.hop_length, cfg.win_length))
+    t = min(est.shape[1], mag_ref.shape[1])
+    num = np.linalg.norm(est[:, :t] - mag_ref[:, :t])
+    return num / (np.linalg.norm(mag_ref[:, :t]) + 1e-9)
+
+
+def _full_cfg_wave(n=12000):
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / FULL.sr
+    y = (
+        0.4 * np.sin(2 * np.pi * 180 * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
+        + 0.2 * np.sin(2 * np.pi * 460 * t)
+        + 0.01 * rng.standard_normal(n)
+    )
+    return y.astype(np.float32)
+
+
+def test_griffin_lim_quality_pinned_full_config_np():
+    y = _full_cfg_wave()
+    mag = np.abs(
+        stft_np(y, FULL.n_fft, FULL.hop_length, FULL.win_length)
+    ).astype(np.float32)
+    assert _sc(mag, griffin_lim_np(mag, FULL, n_iter=100), FULL) < 0.08
+    mel, _ = mel_from_wave(y, FULL)
+    mag_m = mel_to_mag(mel, FULL).astype(np.float32)
+    assert _sc(mag_m, griffin_lim_np(mag_m, FULL, n_iter=100), FULL) < 0.20
+
+
+def test_griffin_lim_quality_pinned_full_config_jax():
+    """The TPU serving path must meet the same pinned SC bound, and agree
+    with the numpy oracle's SC within 0.02 at 100 iterations."""
+    y = _full_cfg_wave()
+    mag = np.abs(
+        stft_np(y, FULL.n_fft, FULL.hop_length, FULL.win_length)
+    ).astype(np.float32)
+    w_np = griffin_lim_np(mag, FULL, n_iter=100)
+    w_jx = np.asarray(griffin_lim_jax(jnp.asarray(mag), FULL, n_iter=100))
+    sc_np = _sc(mag, w_np, FULL)
+    sc_jx = _sc(mag, w_jx.astype(np.float64), FULL)
+    assert sc_jx < 0.08
+    assert abs(sc_np - sc_jx) < 0.02

@@ -29,11 +29,21 @@ def make_wave(n=24000, seed=0):
 
 
 def test_dft_constants_shapes():
-    wc, ws, mt = _dft_mel_constants(CFG.sr, CFG.n_fft, CFG.win_length, CFG.n_mels)
-    assert wc.shape == ws.shape == (2048, 1280)
+    wc, ws, mt, off = _dft_mel_constants(
+        CFG.sr, CFG.n_fft, CFG.win_length, CFG.n_mels
+    )
+    # window support: win_length=1200 centered in n_fft=2048 -> 1280-row
+    # contraction (rounded to 128 lanes) instead of 2048
+    assert wc.shape == ws.shape == (1280, 1280)
     assert mt.shape == (1280, 512)
     # pad columns carry zero mel weight
-    assert float(jnp.abs(mt[1025:]).max()) == 0.0
+    assert float(np.abs(mt[1025:]).max()) == 0.0
+    # dropped rows really are outside the window's support
+    from adaptive_voice_conversion_tpu.dsp.stft import hann_window
+
+    w = hann_window(CFG.win_length, CFG.n_fft)
+    assert float(np.abs(w[: off]).max() if off else 0.0) == 0.0
+    assert float(np.abs(w[off + 1280 :]).max()) == 0.0
 
 
 def test_frame_signal_matches_stft_framecount():
@@ -50,6 +60,51 @@ def test_mel_from_wave_pallas_matches_rfft_path():
     mel_k = mel_from_wave_pallas(jnp.asarray(y), CFG)
     assert mel_k.shape == mel_ref.shape
     np.testing.assert_allclose(np.asarray(mel_k), np.asarray(mel_ref), atol=5e-4)
+
+
+def test_mel_from_wave_pallas_batch_matches_rfft_path():
+    from adaptive_voice_conversion_tpu.kernels.stft_mel import (
+        mel_from_wave_pallas_batch,
+    )
+
+    y = np.stack([make_wave(seed=0), make_wave(seed=1)])
+    mel_ref, _ = mel_from_wave_jax(jnp.asarray(y), CFG)
+    mel_k = mel_from_wave_pallas_batch(jnp.asarray(y), CFG)
+    assert mel_k.shape == mel_ref.shape
+    np.testing.assert_allclose(np.asarray(mel_k), np.asarray(mel_ref), atol=5e-4)
+
+
+def test_etl_tpu_path_uses_kernel_and_matches_host():
+    """featurize_paths(use_tpu, use_kernel=True) in interpret mode agrees
+    with the host numpy featurizer (the production ETL wiring)."""
+    import tempfile, os
+    from adaptive_voice_conversion_tpu.tools.etl import featurize_paths
+    from adaptive_voice_conversion_tpu.dsp.audio import save_wav
+
+    rng = np.random.default_rng(3)
+    t = np.arange(CFG.sr) / CFG.sr
+    wav = (0.5 * np.sin(2 * np.pi * 330 * t)
+           + 0.02 * rng.standard_normal(CFG.sr)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "a.wav")
+        save_wav(p, wav, CFG.sr)
+        host = featurize_paths([p], CFG, use_tpu=False)
+        kern = featurize_paths([p], CFG, use_tpu=True, use_kernel=True)
+    assert host["a.wav"].shape == kern["a.wav"].shape
+    np.testing.assert_allclose(kern["a.wav"], host["a.wav"], atol=5e-4)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="compiled-kernel smoke needs a TPU"
+)
+def test_stft_mel_pallas_compiled_on_tpu():
+    """Non-interpret smoke: the kernel compiles and matches XLA on silicon."""
+    y = make_wave()
+    mel_ref, _ = mel_from_wave_jax(jnp.asarray(y), CFG)
+    mel_k = mel_from_wave_pallas(jnp.asarray(y), CFG, interpret=False)
+    np.testing.assert_allclose(
+        np.asarray(mel_k), np.asarray(mel_ref), atol=1e-3
+    )
 
 
 def test_stft_mel_pallas_block_padding_is_inert():
