@@ -46,6 +46,14 @@ def ae_forward(
     encoders; z = mu + exp(log_sigma/2) * eps.
 
     x: (B, T, n_mels). Returns (mu, log_sigma, emb, dec).
+
+    Note: sharing one width-doubled dual-fused bank evaluation between
+    the two encoders (ops/conv.py ``dual_conv_bank``) was measured and
+    REJECTED — it wins in isolation (fwd+bwd 3.32 vs 3.83 ms for the two
+    banks) but loses in the full training program (5.15 vs 4.82 ms/step
+    on a v5e): the post-conv split slices block XLA from fusing each
+    encoder's bank epilogue into its downstream chain. The op and its
+    bit-exactness test are kept as the recorded experiment.
     """
     k_eps, k_d1, k_d2, k_d3 = jax.random.split(rng, 4)
     dk = None if deterministic else k_d1

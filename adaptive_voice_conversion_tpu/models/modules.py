@@ -114,14 +114,19 @@ def speaker_encoder_apply(
     dropout_key=None,
     deterministic: bool = True,
     compute_dtype: Optional[jnp.dtype] = None,
+    bank_out: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """x: (B, T, c_in) -> speaker embedding (B, c_out)."""
+    """x: (B, T, c_in) -> speaker embedding (B, c_out).
+
+    ``bank_out``: optionally precomputed conv-bank output (e.g. from
+    ops/conv.py ``dual_conv_bank``); when given the bank here is
+    skipped."""
     act = act_fn(cfg.act)
     ks = _bank_kernel_sizes(cfg)
     dkeys = _split_or_none(dropout_key, 4 * cfg.n_conv_blocks)  # 2 per block used
     rate = cfg.dropout_rate
 
-    out = conv_bank(
+    out = bank_out if bank_out is not None else conv_bank(
         x,
         [p["w"] for p in params["conv_bank"]],
         [p["b"] for p in params["conv_bank"]],
@@ -191,14 +196,17 @@ def content_encoder_apply(
     dropout_key=None,
     deterministic: bool = True,
     compute_dtype: Optional[jnp.dtype] = None,
+    bank_out: Optional[jnp.ndarray] = None,
 ):
-    """x: (B, T, c_in) -> (mu, log_sigma) each (B, T/prod(subsample), c_out)."""
+    """x: (B, T, c_in) -> (mu, log_sigma) each (B, T/prod(subsample), c_out).
+
+    ``bank_out``: precomputed conv-bank output (see speaker_encoder_apply)."""
     act = act_fn(cfg.act)
     ks = _bank_kernel_sizes(cfg)
     rate = cfg.dropout_rate
     dkeys = _split_or_none(dropout_key, 1 + 2 * cfg.n_conv_blocks)
 
-    out = conv_bank(
+    out = bank_out if bank_out is not None else conv_bank(
         x,
         [p["w"] for p in params["conv_bank"]],
         [p["b"] for p in params["conv_bank"]],

@@ -158,3 +158,69 @@ def conv_bank(
         c_off += n_out
         outs.append(out)
     return jnp.concatenate(outs + [x.astype(outs[0].dtype)], axis=-1)
+
+
+def dual_conv_bank(
+    x: jnp.ndarray,
+    banks,
+    kernel_sizes: Sequence[int],
+    acts,
+    compute_dtype: Optional[jnp.dtype] = None,
+    group_size: int = 2,
+):
+    """TWO conv banks over the SAME input as one set of fused convs.
+
+    The training forward feeds the identical utterance batch to both
+    encoders (reference model.py:380-382), so their banks can share
+    framing and input reads by concatenating the two banks' weights per
+    kernel group. RECORDED EXPERIMENT, not on the production path: in
+    isolation this wins (fwd+bwd 3.32 ms vs 3.83 ms for two separate
+    pair-grouped banks, v5e B=128 T=128 bf16) but the FULL training step
+    measured slower (5.15 vs 4.82 ms) — the post-conv split slices stop
+    XLA fusing each encoder's bank epilogue into its downstream chain —
+    so ae_forward keeps per-encoder banks (models/ae.py docstring).
+
+    ``banks`` is ((ws_a, bs_a), (ws_b, bs_b)); both must share
+    ``kernel_sizes`` and per-kernel output width. ``acts`` is the pair of
+    per-encoder activations (applied after splitting, so differing
+    activations are fine). Returns (out_a, out_b), each bit-identical to
+    ``conv_bank`` with the same ``group_size``.
+    """
+    (ws_a, bs_a), (ws_b, bs_b) = banks
+    act_a, act_b = acts
+    outs_a, outs_b = [], []
+    for g in range(0, len(kernel_sizes), group_size):
+        g_ks = list(kernel_sizes[g : g + group_size])
+        k_max = max(g_ks)
+        w_a = make_fused_bank_weight(list(ws_a[g : g + group_size]), g_ks)
+        w_b = make_fused_bank_weight(list(ws_b[g : g + group_size]), g_ks)
+        w = jnp.concatenate([w_a, w_b], axis=2)
+        b = jnp.concatenate(
+            [jnp.asarray(bb) for bb in bs_a[g : g + group_size]]
+            + [jnp.asarray(bb) for bb in bs_b[g : g + group_size]],
+            axis=0,
+        )
+        left, right = conv_pad_amounts(k_max)
+        xp = reflect_pad_time(x, left, right)
+        if compute_dtype is not None:
+            xp = xp.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+        o = lax.conv_general_dilated(
+            xp,
+            w,
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=DIMENSION_NUMBERS,
+            preferred_element_type=compute_dtype
+            if compute_dtype is not None
+            else jnp.float32,
+        )
+        o = o + b.astype(o.dtype)
+        n_a = w_a.shape[2]
+        outs_a.append(act_a(o[..., :n_a]))
+        outs_b.append(act_b(o[..., n_a:]))
+    xdt = x.astype(outs_a[0].dtype)
+    return (
+        jnp.concatenate(outs_a + [xdt], axis=-1),
+        jnp.concatenate(outs_b + [xdt], axis=-1),
+    )

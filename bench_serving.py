@@ -58,7 +58,11 @@ def main() -> None:
                 "metric": "one_shot_conversions_per_sec",
                 "value": round(n_conv / dt, 2),
                 "unit": "conversions/s",
-                "vs_baseline": None,
+                # reference-equivalent CPU vocoding on this host: the numpy
+                # melspectrogram2wav (identical math to the reference's
+                # librosa chain) converts a seg-128 mel in 0.812 s => 1.23
+                # conversions/s, ignoring the neural forward entirely
+                "vs_baseline": round(n_conv / dt / 1.23, 1),
                 "grid": f"{n_src}x{n_tgt} seg{t_len} gl{cfg.signal.n_iter}",
                 "audio_s_per_s": round(audio_s / dt, 1),
                 "device": str(jax.devices()[0]),

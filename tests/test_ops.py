@@ -172,3 +172,71 @@ def test_fused_conv_bank_with_scale_2():
         outs.append(torch.relu(torch_pad_conv(xt, w_t, torch.from_numpy(bias))))
     theirs = torch.cat(outs + [xt], dim=1)
     np.testing.assert_allclose(np.asarray(ours), to_ntc(theirs), atol=1e-4)
+
+
+def test_dual_conv_bank_matches_two_single_banks():
+    """ae_forward's shared dual-bank evaluation (ops/conv.py
+    dual_conv_bank) must be bit-identical to the two per-encoder banks
+    for every group size."""
+    from adaptive_voice_conversion_tpu.ops.conv import dual_conv_bank
+
+    b, t, ci, cb = 2, 32, 8, 4
+    kernel_sizes = list(range(1, 9))
+    x = RNG.standard_normal((b, t, ci)).astype(np.float32)
+
+    def mk_bank():
+        ws = [RNG.standard_normal((k, ci, cb)).astype(np.float32) * 0.2
+              for k in kernel_sizes]
+        bs = [RNG.standard_normal((cb,)).astype(np.float32)
+              for _ in kernel_sizes]
+        return [jnp.asarray(w) for w in ws], [jnp.asarray(v) for v in bs]
+
+    ws_a, bs_a = mk_bank()
+    ws_b, bs_b = mk_bank()
+    relu = lambda y: jnp.maximum(y, 0)
+    lrelu = lambda y: jnp.where(y > 0, y, 0.01 * y)
+
+    for gs in (1, 2, 4, 8):
+        ref_a = conv_bank(jnp.asarray(x), ws_a, bs_a, kernel_sizes, relu,
+                          group_size=gs)
+        ref_b = conv_bank(jnp.asarray(x), ws_b, bs_b, kernel_sizes, lrelu,
+                          group_size=gs)
+        out_a, out_b = dual_conv_bank(
+            jnp.asarray(x), ((ws_a, bs_a), (ws_b, bs_b)), kernel_sizes,
+            (relu, lrelu), group_size=gs,
+        )
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(ref_a))
+        np.testing.assert_array_equal(np.asarray(out_b), np.asarray(ref_b))
+
+
+def test_ae_forward_dual_bank_matches_standalone_encoders():
+    """ae_forward (shared dual bank) must agree with calling the two
+    encoders standalone (per-encoder banks)."""
+    import jax
+    from adaptive_voice_conversion_tpu.core.config import AEConfig
+    from adaptive_voice_conversion_tpu.models import (
+        ae_forward,
+        init_ae,
+    )
+    from adaptive_voice_conversion_tpu.models.modules import (
+        content_encoder_apply,
+        speaker_encoder_apply,
+    )
+
+    cfg = AEConfig()
+    from test_train import TINY
+
+    cfg = TINY.model
+    params = init_ae(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(RNG.standard_normal((2, 16, 8)).astype(np.float32))
+    rng = jax.random.PRNGKey(1)
+    mu, ls, emb, dec = ae_forward(params, cfg, x, rng)
+    emb_ref = speaker_encoder_apply(
+        params["speaker_encoder"], cfg.speaker_encoder, x
+    )
+    mu_ref, ls_ref = content_encoder_apply(
+        params["content_encoder"], cfg.content_encoder, x
+    )
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(emb_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(ls_ref), atol=1e-6)
