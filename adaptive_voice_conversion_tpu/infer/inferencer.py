@@ -85,7 +85,9 @@ class Inferencer:
         step = mngr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {store_model_path}.orbax")
-        opt_like = make_optimizer(config.optimizer).init(params)
+        opt_like = make_optimizer(
+            config.optimizer, sn=config.model.decoder.sn
+        ).init(params)
         params, _, _ = mngr.restore(step, params, opt_like)
         mngr.close()
         return cls(config, params, attr_path, **kw)

@@ -346,18 +346,39 @@ def _add_spectral_norm_state(params: dict, key) -> dict:
 
 
 def _sn_params(p: dict) -> dict:
-    """Return {'w': w/sigma, 'b': b} using the stored power-iteration vector."""
+    """Return {'w': w/sigma, 'b': b} using the stored power-iteration vector.
+
+    Matches torch spectral_norm's training forward exactly: one power
+    iteration from the stored ``u`` with the ITERATES detached (torch runs
+    it under no_grad), then sigma = u'^T W v with gradient flowing through
+    W — torch does NOT detach sigma, so d(W/sigma)/dW includes the
+    -W (u v^T)/sigma^2 term. Persist the iterated u each training step via
+    ``spectral_norm_update`` (train/step.py wires this when cfg.decoder.sn).
+    """
     if "u" not in p:
         return p
     wm = _w2d(p["w"]).astype(jnp.float32)
-    u = p["u"]
-    v = wm.T @ u
+    u = jax.lax.stop_gradient(p["u"])
+    v = jax.lax.stop_gradient(wm).T @ u
     v = v / (jnp.linalg.norm(v) + 1e-12)
-    u2 = wm @ v
+    u2 = jax.lax.stop_gradient(wm) @ v
     u2 = u2 / (jnp.linalg.norm(u2) + 1e-12)
-    sigma = jnp.dot(u2, wm @ v)
-    sigma = jax.lax.stop_gradient(sigma)
-    return {"w": p["w"] / sigma, "b": p["b"]}
+    sigma = jnp.dot(u2, wm @ v)  # differentiable through wm, like torch
+    return {"w": p["w"] / sigma.astype(p["w"].dtype), "b": p["b"]}
+
+
+def trainable_mask(params):
+    """Bool pytree: True for trainable leaves, False for spectral-norm ``u``
+    buffers (torch registers u as a BUFFER — the optimizer never sees it;
+    optax must likewise skip weight decay / moments for u)."""
+    import jax.tree_util as jtu
+
+    def is_u(path) -> bool:
+        return any(
+            isinstance(k, jtu.DictKey) and k.key == "u" for k in path
+        )
+
+    return jtu.tree_map_with_path(lambda path, _: not is_u(path), params)
 
 
 def spectral_norm_update(params: dict) -> dict:

@@ -23,20 +23,39 @@ from ..core.config import AEConfig
 def _np(t):
     if isinstance(t, np.ndarray):
         return t
-    # torch tensor without importing torch at module scope
-    return t.detach().cpu().numpy()
+    # torch tensor without importing torch at module scope. COPY: .numpy()
+    # returns a view sharing the tensor's buffer, and jax's CPU backend can
+    # alias numpy arrays zero-copy — a live torch module mutating its
+    # tensors in place (e.g. spectral_norm's power-iteration buffer u,
+    # updated every training forward) would silently mutate our params.
+    return t.detach().cpu().numpy().copy()
+
+
+def _raw_weight(sd, name):
+    """Layer weight, handling torch spectral_norm's rename: sn-wrapped
+    layers store ``weight_orig`` + power-iteration buffer ``weight_u``
+    (reference model.py:334 wraps every decoder layer when sn=True)."""
+    if f"{name}.weight" in sd:
+        return _np(sd[f"{name}.weight"]), None
+    return _np(sd[f"{name}.weight_orig"]), _np(sd[f"{name}.weight_u"])
 
 
 def _conv(sd, name):
-    w = _np(sd[f"{name}.weight"])
+    w, u = _raw_weight(sd, name)
     b = _np(sd[f"{name}.bias"])
-    return {"w": jnp.asarray(w.transpose(2, 1, 0)), "b": jnp.asarray(b)}
+    out = {"w": jnp.asarray(w.transpose(2, 1, 0)), "b": jnp.asarray(b)}
+    if u is not None:
+        out["u"] = jnp.asarray(u)
+    return out
 
 
 def _dense(sd, name):
-    w = _np(sd[f"{name}.weight"])
+    w, u = _raw_weight(sd, name)
     b = _np(sd[f"{name}.bias"])
-    return {"w": jnp.asarray(w.T), "b": jnp.asarray(b)}
+    out = {"w": jnp.asarray(w.T), "b": jnp.asarray(b)}
+    if u is not None:
+        out["u"] = jnp.asarray(u)
+    return out
 
 
 def torch_state_dict_to_params(sd: dict, cfg: AEConfig) -> dict:

@@ -65,18 +65,30 @@ def scale_by_torch_amsgrad(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: OptimizerConfig, sn: bool = False
+) -> optax.GradientTransformation:
     inner = (
         scale_by_torch_amsgrad(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
         if cfg.amsgrad
         else optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
     )
-    return optax.chain(
+    chain = optax.chain(
         optax.clip_by_global_norm(cfg.grad_norm),
         optax.add_decayed_weights(cfg.weight_decay),
         inner,
         optax.scale(-cfg.lr),
     )
+    if not sn:
+        return chain
+    # sn=True: the param tree carries spectral-norm power-iteration buffers
+    # `u` (like torch's weight_u). Their grads are exactly zero (the
+    # iterates are detached), so clipping is unaffected — but weight decay
+    # and Adam moments must skip them (torch's optimizer never sees
+    # buffers). optax.masked leaves un-masked updates untouched (still 0).
+    from ..models.modules import trainable_mask
+
+    return optax.masked(chain, trainable_mask)
 
 
 def kl_lambda(iteration, lambda_kl: float, annealing_iters: int):

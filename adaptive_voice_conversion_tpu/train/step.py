@@ -20,6 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import TrainConfig
 from ..models.ae import ae_forward, ae_inference
+from ..models.modules import spectral_norm_update
 from .optim import kl_lambda, make_optimizer
 
 
@@ -48,6 +49,7 @@ def build_step_fn(cfg: TrainConfig, opt):
     """The un-jitted fwd+bwd+update step shared by the replicated
     (make_train_step) and tensor-parallel (parallel/tp.py) trainers."""
     any_dropout = _any_dropout(cfg)
+    sn = cfg.model.decoder.sn
 
     def _step(params, opt_state, x, rng, lambda_kl):
         if x.dtype == jnp.uint16:
@@ -66,6 +68,10 @@ def build_step_fn(cfg: TrainConfig, opt):
         )(params)
         grad_norm = optax.global_norm(grads)
         updates, opt_state = opt.update(grads, opt_state, params)
+        if sn:
+            # persist the power iteration torch runs in its training
+            # forward (reference model.py:334): u' from the PRE-update W
+            params = spectral_norm_update(params)
         params = optax.apply_updates(params, updates)
         metrics = {
             "loss": loss,
@@ -86,7 +92,7 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None):
         loss, grad_norm} (grad_norm is the pre-clip global norm, like torch
         clip_grad_norm_'s return value).
     """
-    opt = make_optimizer(cfg.optimizer)
+    opt = make_optimizer(cfg.optimizer, sn=cfg.model.decoder.sn)
 
     def init_fn(params):
         return opt.init(params)
@@ -137,7 +143,8 @@ def make_device_data_train_step(
     be padded to a fixed length so differently-sized HBM chunks reuse one
     compiled program (data/chunked.py double-buffered >HBM streaming).
     """
-    opt = make_optimizer(cfg.optimizer)
+    opt = make_optimizer(cfg.optimizer, sn=cfg.model.decoder.sn)
+    sn = cfg.model.decoder.sn
     b = cfg.data_loader.batch_size
     seg = cfg.data_loader.segment_size
     any_dropout = (
@@ -190,6 +197,9 @@ def make_device_data_train_step(
             )(params)
             grad_norm = optax.global_norm(grads)
             updates, opt_state = opt.update(grads, opt_state, params)
+            if sn:
+                # torch's in-forward power iteration, from the pre-update W
+                params = spectral_norm_update(params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), jnp.stack(
                 [loss, loss_rec, loss_kl, grad_norm]
