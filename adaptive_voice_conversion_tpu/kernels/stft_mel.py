@@ -26,7 +26,7 @@ compares their throughput.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -114,7 +114,7 @@ def _kernel(frames_ref, wcos_ref, wsin_ref, melt_ref, out_ref, *, n_f_steps,
 def stft_mel_pallas(
     frames: jnp.ndarray,
     cfg: SignalConfig = SignalConfig(),
-    interpret: bool = None,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """frames (T, n_fft) float32 (unwindowed) -> normalized mel (T, n_mels).
 
@@ -187,7 +187,8 @@ def _frame_signal(y: jnp.ndarray, cfg: SignalConfig) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def mel_from_wave_pallas(
-    y: jnp.ndarray, cfg: SignalConfig = SignalConfig(), interpret: bool = None
+    y: jnp.ndarray, cfg: SignalConfig = SignalConfig(),
+    interpret: Optional[bool] = None
 ) -> jnp.ndarray:
     """Trimmed/preemphasized wave (n_samples,) -> normalized mel (T, n_mels).
 
@@ -202,7 +203,8 @@ def mel_from_wave_pallas(
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def mel_from_wave_pallas_batch(
-    y: jnp.ndarray, cfg: SignalConfig = SignalConfig(), interpret: bool = None
+    y: jnp.ndarray, cfg: SignalConfig = SignalConfig(),
+    interpret: Optional[bool] = None
 ) -> jnp.ndarray:
     """Batch of equal-length waves (B, n_samples) -> mel (B, T, n_mels).
 

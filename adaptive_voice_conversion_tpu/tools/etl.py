@@ -18,7 +18,7 @@ import json
 import os
 import pickle
 import random
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -33,7 +33,7 @@ def featurize_paths(
     use_tpu: bool = False,
     tpu_batch: int = 16,
     log_every: int = 500,
-    use_kernel: bool = None,
+    use_kernel: Optional[bool] = None,
 ) -> Dict[str, np.ndarray]:
     """path -> mel (T, n_mels) for every wav, keyed by basename.
 

@@ -164,6 +164,23 @@ def main() -> None:
 
     n_mels = 512
     target_bytes = 2 * hbm_bytes  # >= 2x device HBM
+    # cap at 60% of available host RAM so the headline bench degrades (with
+    # a note in the artifact) instead of OOMing on smaller hosts
+    try:
+        import psutil
+
+        avail = psutil.virtual_memory().available
+    except Exception:
+        avail = int(
+            os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        )
+    corpus_capped = target_bytes > int(0.6 * avail)
+    if corpus_capped:
+        target_bytes = int(0.6 * avail)
+        _note(
+            f"host RAM caps corpus at {target_bytes >> 30} GiB "
+            f"(< 2x HBM = {2 * hbm_bytes >> 30} GiB)"
+        )
     block_rows = 1 << (14 if smoke else 20)
     block_f32 = rng.standard_normal((block_rows, n_mels)).astype(np.float32)
     # f32 -> bf16 by bit truncation (ml_dtypes astype is an elementwise
@@ -281,6 +298,10 @@ def main() -> None:
         "config": "batch128 seg128 bf16 device-resident K=10",
         "device": str(jax.devices()[0]),
     }
+    if corpus_capped:
+        out["chunked_corpus_gib_capped_by_host_ram"] = round(
+            target_bytes / (1 << 30), 1
+        )
     print(json.dumps(out))
 
 

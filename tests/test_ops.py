@@ -209,9 +209,10 @@ def test_dual_conv_bank_matches_two_single_banks():
         np.testing.assert_array_equal(np.asarray(out_b), np.asarray(ref_b))
 
 
-def test_ae_forward_dual_bank_matches_standalone_encoders():
-    """ae_forward (shared dual bank) must agree with calling the two
-    encoders standalone (per-encoder banks)."""
+def test_ae_forward_matches_standalone_encoders():
+    """ae_forward (per-encoder banks — the dual-bank experiment was
+    rejected, see models/ae.py docstring) must agree with calling the two
+    encoders standalone."""
     import jax
     from adaptive_voice_conversion_tpu.core.config import AEConfig
     from adaptive_voice_conversion_tpu.models import (
