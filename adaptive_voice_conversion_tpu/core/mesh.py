@@ -74,6 +74,58 @@ def init_multihost(
         pass
 
 
+def put_global(
+    local_data: np.ndarray, mesh: Mesh, spec: P = P()
+) -> jax.Array:
+    """Place host data as a GLOBAL array on a mesh that may span processes.
+
+    Single-process: a plain ``device_put`` to the NamedSharding. Multi-
+    process: ``jax.make_array_from_process_local_data`` — each process
+    supplies only the block its addressable devices own (for a sharded
+    ``spec``) or the full array (replicated ``spec``), and the result is a
+    global array usable in multi-controller ``jit``. This is what lets the
+    fast device-resident / HBM-sharded data paths run under
+    ``jax.distributed`` instead of falling back to per-batch host streaming
+    (the reference's only mode — reference: data_utils.py:43-57).
+    """
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(local_data, sh)
+    return jax.make_array_from_process_local_data(sh, local_data)
+
+
+def replicate_pytree(tree, mesh: Mesh):
+    """Replicate a host/device pytree onto every device of a (possibly
+    multi-process) mesh. Leaves are routed through host numpy so the call
+    is legal in multi-controller mode (uncommitted single-device arrays
+    cannot be fed to a jit spanning processes)."""
+    return jax.tree.map(
+        lambda a: put_global(np.asarray(a), mesh, P()), tree
+    )
+
+
+def shard_rows_for_process(mesh: Mesh, data_axis: str = "data") -> np.ndarray:
+    """Indices along the data axis whose devices this process owns.
+
+    With the standard ``make_mesh`` layout (jax.devices() is ordered by
+    process) these are contiguous, which is what
+    ``make_array_from_process_local_data`` requires of the local block.
+    """
+    devs = mesh.devices.reshape(mesh.shape[data_axis], -1)
+    mine = np.array(
+        [d[0].process_index == jax.process_index() for d in devs]
+    )
+    idx = np.flatnonzero(mine)
+    if idx.size and not np.array_equal(
+        idx, np.arange(idx[0], idx[0] + idx.size)
+    ):
+        raise ValueError(
+            "process-local mesh rows are not contiguous along the data axis; "
+            "construct the mesh from jax.devices() order (core.mesh.make_mesh)"
+        )
+    return idx
+
+
 def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
     """Per-host share of the global batch for the host data loader."""
     n_data = mesh.shape[DATA_AXIS]

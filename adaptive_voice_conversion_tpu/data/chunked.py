@@ -56,7 +56,9 @@ class ChunkedDeviceStreamer:
         batch_size: int,
         inner_steps: int = 10,
         seed: int = 0,
+        mesh=None,
     ):
+        self.mesh = mesh
         packed = dataset.packed
         seg = dataset.segment_size
         itemsize = packed.dtype.itemsize
@@ -112,8 +114,21 @@ class ChunkedDeviceStreamer:
             return self._tail
         return self.packed[chunk_id * self.R : (chunk_id + 1) * self.R]
 
-    def put_chunk(self, chunk_id: int, put=jax.device_put):
-        """Begin the async H2D transfer; returns device arrays immediately."""
+    def put_chunk(self, chunk_id: int, put=None):
+        """Begin the async H2D transfer; returns device arrays immediately.
+
+        With a mesh the chunk is placed as a GLOBAL replicated array (every
+        process streams the same chunk from its own copy of the corpus), so
+        the >HBM path runs unchanged under ``jax.distributed``."""
+        if put is None:
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                from ..core.mesh import put_global
+
+                put = lambda a: put_global(a, self.mesh, P())
+            else:
+                put = jax.device_put
         wire = self.chunk_view(chunk_id)
         if wire.dtype != np.float32:
             wire = wire.view(np.uint16)  # bf16 wire format

@@ -41,11 +41,22 @@ class DeviceResidentDataset:
         else:
             wire = np.ascontiguousarray(packed, dtype=np.float32)
 
-        sharding = NamedSharding(mesh, P()) if mesh is not None else None
-        put = (lambda a: jax.device_put(a, sharding)) if sharding else jax.device_put
+        if mesh is not None:
+            from ..core.mesh import put_global
+
+            put = lambda a: put_global(a, mesh, P())
+        else:
+            put = jax.device_put
         raw = put(wire)
         if dtype == "bfloat16":
-            self.packed = jax.lax.bitcast_convert_type(raw, jnp.bfloat16)
+            if mesh is not None:
+                repl = NamedSharding(mesh, P())
+                self.packed = jax.jit(
+                    lambda a: jax.lax.bitcast_convert_type(a, jnp.bfloat16),
+                    out_shardings=repl,
+                )(raw)
+            else:
+                self.packed = jax.lax.bitcast_convert_type(raw, jnp.bfloat16)
         else:
             self.packed = raw
         self.starts = put(dataset.starts.astype(np.int32))

@@ -98,17 +98,34 @@ class ShardedDeviceDataset:
         else:
             host_dtype = np.dtype("float32")
 
-        packed = np.zeros((n_shards, plan.n_rows, n_mels), dtype=host_dtype)
-        starts = np.zeros((n_shards, plan.n_starts), dtype=np.int32)
+        # Multi-process: materialize ONLY the shard rows whose devices this
+        # process owns — the plan is a pure function of the dataset, so every
+        # process computes the same global plan but builds its local block
+        # and assembles the global array via core.mesh.put_global. Aggregate
+        # host RAM across the pod therefore bounds the corpus, not one host
+        # (the reference unpickles the whole dataset in every worker —
+        # reference: data_utils.py:45-46).
+        from ..core.mesh import put_global, shard_rows_for_process
+
+        local_rows = (
+            shard_rows_for_process(mesh, data_axis)
+            if jax.process_count() > 1
+            else np.arange(n_shards)
+        )
+        packed = np.zeros(
+            (len(local_rows), plan.n_rows, n_mels), dtype=host_dtype
+        )
+        starts = np.zeros((len(local_rows), plan.n_starts), dtype=np.int32)
         utt_of_start = (
             np.searchsorted(offsets, dataset.starts, side="right") - 1
         )
-        for s, utts in enumerate(plan.utt_rows):
+        for i, s in enumerate(local_rows):
+            utts = plan.utt_rows[s]
             row = 0
             local_base = {}
             for u in utts:
                 r0, r1 = int(offsets[u]), int(offsets[u + 1])
-                packed[s, row : row + (r1 - r0)] = dataset.packed[r0:r1]
+                packed[i, row : row + (r1 - r0)] = dataset.packed[r0:r1]
                 local_base[u] = row - r0  # global row -> local row shift
                 row += r1 - r0
             mask = np.isin(utt_of_start, utts)
@@ -117,18 +134,18 @@ class ShardedDeviceDataset:
                 [local_base[u] for u in utt_of_start[mask]], dtype=np.int64
             )
             local = (gstarts + shift)[: plan.n_starts]
-            starts[s] = local.astype(np.int32)
+            starts[i] = local.astype(np.int32)
 
         shard = NamedSharding(mesh, P(data_axis))
         if dtype == "bfloat16":
-            raw = jax.device_put(packed.view(np.uint16), shard)
+            raw = put_global(packed.view(np.uint16), mesh, P(data_axis))
             self.packed = jax.jit(
                 lambda a: jax.lax.bitcast_convert_type(a, jnp.bfloat16),
                 out_shardings=shard,
             )(raw)
         else:
-            self.packed = jax.device_put(packed, shard)
-        self.starts = jax.device_put(starts, shard)
+            self.packed = put_global(packed, mesh, P(data_axis))
+        self.starts = put_global(starts, mesh, P(data_axis))
         self.segment_size = dataset.segment_size
         self.n_mels = n_mels
         self.n_shards = n_shards

@@ -1,0 +1,116 @@
+"""Worker for the 2-process FAST-data-path integration tests.
+
+Spawned by tests/test_multihost_fast.py with argv:
+    process_id num_processes coordinator_port artifacts_dir mode run_dir
+
+Each process owns 2 virtual CPU devices (4 global). Unlike
+multihost_worker.py (which pins the per-batch host-streaming path), this
+worker drives the full Solver on the PRODUCTION data paths under
+jax.distributed — device-resident, aggregate-HBM-sharded, and chunked
+streaming — which round 2 only supported single-process (the old solver
+forced input_mode="host" whenever process_count() > 1).
+
+Modes:
+    device    auto-resolved device-resident path, train 8 steps
+    sharded   ShardedDeviceDataset over the 4-device mesh, train 8 steps
+    chunked   ChunkedDeviceStreamer (tiny chunks -> several chunks), 8 steps
+    resume_a  device path: train 4 steps, checkpoint, exit
+    resume_b  restore from resume_a's checkpoint, train 4 more steps
+
+Machine-readable stdout lines asserted by the parent:
+    DATA_MODE <mode solver resolved>
+    LOSS <loss> <rec> <kl> <grad_norm>        (last fused-step metrics row)
+    PSUM <repr of sum(|params|) in f64>
+"""
+
+import os
+import sys
+from dataclasses import replace
+
+
+def solver_config(mode: str):
+    from test_train import TINY
+
+    common = dict(inner_steps=4)
+    if mode in ("device", "resume_a", "resume_b"):
+        return replace(TINY, input_mode="device", **common)
+    if mode == "sharded":
+        return replace(TINY, input_mode="device_sharded", **common)
+    if mode == "chunked":
+        # 6 utts x 64 rows x 8 mels x 4B = 12 KiB total; 4 KiB chunks -> 3+
+        return replace(TINY, input_mode="chunked", chunk_bytes=4096, **common)
+    raise ValueError(mode)
+
+
+def param_checksum(params) -> float:
+    import jax
+    import numpy as np
+
+    total = 0.0
+    for leaf in jax.tree.leaves(params):
+        total += float(np.sum(np.abs(np.asarray(leaf, dtype=np.float64))))
+    return total
+
+
+def main() -> None:
+    pid, nproc, port, art, mode, run_dir = (
+        int(sys.argv[1]),
+        int(sys.argv[2]),
+        sys.argv[3],
+        sys.argv[4],
+        sys.argv[5],
+        sys.argv[6],
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=2 "
+        + os.environ.get("XLA_FLAGS", "")
+    )
+
+    import jax
+
+    from adaptive_voice_conversion_tpu.core.mesh import (
+        init_multihost,
+        make_mesh,
+    )
+
+    init_multihost(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc
+
+    from adaptive_voice_conversion_tpu.train.solver import Solver, SolverArgs
+
+    cfg = solver_config(mode)
+    mesh = make_mesh(n_data=len(jax.devices()))
+    ckpt_tag = "resume" if mode.startswith("resume") else mode
+    args = SolverArgs(
+        data_dir=art,
+        train_set="d",
+        train_index_file="i.json",
+        logdir=os.path.join(run_dir, f"log_{mode}_{pid}"),
+        store_model_path=os.path.join(run_dir, f"ckpt_{ckpt_tag}"),
+        load_model=(mode == "resume_b"),
+        summary_steps=4,
+        save_steps=4,
+        seed=0,
+    )
+    solver = Solver(cfg, args, mesh=mesh)
+    print(f"DATA_MODE {solver.data_mode}", flush=True)
+    n = 4 if mode == "resume_a" else (4 if mode == "resume_b" else 8)
+    m = solver.train(n, log_every_print=False)
+    if mode != "resume_a":
+        print(
+            "LOSS "
+            + " ".join(
+                repr(m[k]) for k in ("loss", "loss_rec", "loss_kl", "grad_norm")
+            ),
+            flush=True,
+        )
+    print(f"PSUM {param_checksum(solver.params)!r}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
