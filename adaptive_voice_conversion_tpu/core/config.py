@@ -139,7 +139,17 @@ class TrainConfig:
     input_mode: str = "auto"
     device_data_budget_bytes: int = 6_000_000_000
     chunk_bytes: int = 0  # chunked mode chunk size; 0 = budget // 3
+    # steps per chunk visit multiplier: divides the H2D bandwidth the >HBM
+    # stream needs by the same factor at the cost of coarser shuffle
+    # granularity (data/chunked.py transfer-bound derivation)
+    chunk_repeats: int = 1
     inner_steps: int = 10  # train steps fused per XLA call in device mode
+    # optimizer moment storage: "float32" (torch-bit-exact parity mode) or
+    # "bfloat16" (halves Adam-state HBM traffic; f32 master params kept)
+    opt_state_dtype: str = "float32"
+    # fused (flattened) optimizer: one raveled update instead of ~85
+    # per-leaf ops; elementwise-identical math (train/optim.py docstring)
+    opt_fused: bool = False
 
 
 def _filter_kwargs(cls, d: dict) -> dict:
@@ -185,7 +195,10 @@ def config_from_dict(raw: dict) -> TrainConfig:
             raw.get("device_data_budget_bytes", 6_000_000_000)
         ),
         chunk_bytes=int(raw.get("chunk_bytes", 0)),
+        chunk_repeats=int(raw.get("chunk_repeats", 1)),
         inner_steps=int(raw.get("inner_steps", 10)),
+        opt_state_dtype=str(raw.get("opt_state_dtype", "float32")),
+        opt_fused=bool(raw.get("opt_fused", False)),
     )
 
 
@@ -210,7 +223,10 @@ def config_to_dict(cfg: TrainConfig) -> dict:
         "input_mode": cfg.input_mode,
         "device_data_budget_bytes": cfg.device_data_budget_bytes,
         "chunk_bytes": cfg.chunk_bytes,
+        "chunk_repeats": cfg.chunk_repeats,
         "inner_steps": cfg.inner_steps,
+        "opt_state_dtype": cfg.opt_state_dtype,
+        "opt_fused": cfg.opt_fused,
     }
 
 

@@ -85,6 +85,9 @@ def make_tp_train_step(cfg, mesh: Mesh):
     from ..train.optim import make_optimizer
     from ..train.step import build_step_fn
 
-    opt = make_optimizer(cfg.optimizer, sn=cfg.model.decoder.sn)
+    opt = make_optimizer(
+        cfg.optimizer, sn=cfg.model.decoder.sn,
+        state_dtype=cfg.opt_state_dtype, fused=cfg.opt_fused,
+    )
     init_fn = jax.jit(opt.init)
     return init_fn, jax.jit(build_step_fn(cfg, opt), donate_argnums=(0, 1))

@@ -189,6 +189,195 @@ def probe_parts() -> None:
         print(f"{name}: {_scan_time(u, x)*1e3:.4f} ms", flush=True)
 
 
+def probe_residual() -> None:
+    """Residual-conv chain formulations (22.5% of step FLOPs, round-2
+    roofline): the content-encoder residual chain is 6 blocks of two k=5
+    c_h=128 convs (2nd strided), IN at pre-activation (reference:
+    model.py:309-320). Compares lax.conv vs im2col-matmul vs
+    sum-of-shifted-matmuls, per application, fwd / fwd+bwd."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..models.modules import _init_conv
+    from ..ops.conv import DIMENSION_NUMBERS
+    from ..ops.norm import instance_norm_time
+    from ..ops.padding import conv_pad_amounts, reflect_pad_time
+
+    B, C = 128, 128
+    K = 5
+    DT = jnp.bfloat16
+    subsample = (1, 2, 1, 2, 1, 2)
+    keys = jax.random.split(jax.random.PRNGKey(0), 12)
+    convs = [_init_conv(k, K, C, C) for k in keys]
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, 128, C)).astype(np.float32)
+    )
+    act = jax.nn.relu
+    left, right = conv_pad_amounts(K)
+
+    def conv_lax(xx, w, b, stride):
+        xp = reflect_pad_time(xx, left, right).astype(DT)
+        o = lax.conv_general_dilated(
+            xp, w.astype(DT), (stride,), "VALID",
+            dimension_numbers=DIMENSION_NUMBERS, preferred_element_type=DT,
+        )
+        return o + b.astype(o.dtype)
+
+    def conv_im2col(xx, w, b, stride):
+        xp = reflect_pad_time(xx, left, right).astype(DT)
+        T_out = (xp.shape[1] - K) // stride + 1
+        cols = jnp.stack(
+            [xp[:, j : j + stride * T_out : stride, :] for j in range(K)],
+            axis=2,
+        )  # (B, T_out, K, C)
+        cols = cols.reshape(B, T_out, K * C)
+        wm = w.reshape(K * C, C).astype(DT)
+        return jnp.dot(cols, wm, preferred_element_type=DT) + b.astype(DT)
+
+    def conv_shifts(xx, w, b, stride):
+        xp = reflect_pad_time(xx, left, right).astype(DT)
+        T_out = (xp.shape[1] - K) // stride + 1
+        o = None
+        for j in range(K):
+            term = jnp.dot(
+                xp[:, j : j + stride * T_out : stride, :],
+                w[j].astype(DT),
+                preferred_element_type=DT,
+            )
+            o = term if o is None else o + term
+        return o + b.astype(DT)
+
+    def chain(conv):
+        def fn(xx):
+            out = xx
+            for l in range(6):
+                sub = subsample[l]
+                w1, b1 = convs[2 * l]["w"], convs[2 * l]["b"]
+                w2, b2 = convs[2 * l + 1]["w"], convs[2 * l + 1]["b"]
+                y = act(instance_norm_time(conv(out, w1, b1, 1)))
+                y = act(instance_norm_time(conv(y, w2, b2, sub)))
+                if sub > 1:
+                    out = out[:, ::2, :] * 0.5 + out[:, 1::2, :] * 0.5
+                out = y + out
+            return out
+
+        return fn
+
+    variants = {"conv": conv_lax, "im2col": conv_im2col, "shifts": conv_shifts}
+    ref = None
+    for name, conv in variants.items():
+        fn = chain(conv)
+        # jit the correctness check: eager mode would remote-compile every
+        # op of the 6-block chain separately through the tunnel (minutes)
+        y = np.asarray(jax.jit(fn)(x), np.float32)
+        if ref is None:
+            ref = y
+        else:
+            d = np.max(np.abs(ref - y))
+            print(f"{name}: max|diff| vs conv = {d:.2e}")
+        dt_f = _scan_time(lambda xx: jnp.sum(fn(xx).astype(jnp.float32)), x)
+        dt_b = _scan_time(
+            lambda xx: jnp.sum(
+                jax.grad(lambda d_: jnp.sum(fn(d_).astype(jnp.float32) ** 2))(xx)
+            ),
+            x,
+        )
+        print(f"{name}: fwd {dt_f*1e3:.4f} ms   fwd+bwd {dt_b*1e3:.4f} ms",
+              flush=True)
+
+
+def probe_opt() -> None:
+    """Full fused multi-step A/B: opt_state_dtype float32 vs bfloat16."""
+    import dataclasses
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import TrainConfig
+    from ..data.device_sampler import DeviceResidentDataset
+    from ..models import init_ae
+    from ..train.step import make_device_data_train_step
+
+    rng = np.random.default_rng(0)
+    packed = jnp.asarray(rng.standard_normal((40_000, 512)).astype(np.float32),
+                         dtype=jnp.bfloat16)
+    starts = jnp.asarray(rng.integers(0, 40_000 - 128, size=200_000)
+                         .astype(np.int32))
+    for sd, fused in (
+        ("float32", False), ("bfloat16", False),
+        ("float32", True), ("bfloat16", True),
+    ):
+        cfg = dataclasses.replace(
+            TrainConfig(), compute_dtype="bfloat16", data_dtype="bfloat16",
+            opt_state_dtype=sd, opt_fused=fused, inner_steps=10,
+        )
+        params = init_ae(jax.random.PRNGKey(0), cfg.model)
+        init_fn, fn = make_device_data_train_step(cfg, None, inner_steps=10)
+        opt_state = init_fn(params)
+        key = np.asarray(jax.random.PRNGKey(1))
+        p, o, ms = fn(params, opt_state, packed, starts, key, np.int32(0))
+        jax.block_until_ready(ms)
+        n_calls, it = 30, 10
+        t0 = _time.time()
+        for c in range(n_calls):
+            p, o, ms = fn(p, o, packed, starts, key, np.int32(it))
+            it += 10
+        jax.block_until_ready(ms)
+        dt = (_time.time() - t0) / (n_calls * 10)
+        print(f"opt_state_dtype={sd} fused={fused}: {dt*1e3:.3f} ms/step",
+              flush=True)
+
+
+def probe_profile() -> None:
+    """Attempt a real jax.profiler capture of the production multi-step
+    (round-2 verdict item 2: trace or a recorded failure)."""
+    import dataclasses
+    import glob
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import TrainConfig
+    from ..models import init_ae
+    from ..train.step import make_device_data_train_step
+
+    rng = np.random.default_rng(0)
+    packed = jnp.asarray(rng.standard_normal((40_000, 512)).astype(np.float32),
+                         dtype=jnp.bfloat16)
+    starts = jnp.asarray(rng.integers(0, 40_000 - 128, size=200_000)
+                         .astype(np.int32))
+    cfg = dataclasses.replace(
+        TrainConfig(), compute_dtype="bfloat16", data_dtype="bfloat16",
+        inner_steps=10,
+    )
+    params = init_ae(jax.random.PRNGKey(0), cfg.model)
+    init_fn, fn = make_device_data_train_step(cfg, None, inner_steps=10)
+    opt_state = init_fn(params)
+    key = np.asarray(jax.random.PRNGKey(1))
+    p, o, ms = fn(params, opt_state, packed, starts, key, np.int32(0))
+    jax.block_until_ready(ms)
+    out_dir = "/tmp/avc_profile"
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        with jax.profiler.trace(out_dir):
+            it = 10
+            for c in range(5):
+                p, o, ms = fn(p, o, packed, starts, key, np.int32(it))
+                it += 10
+            jax.block_until_ready(ms)
+        files = glob.glob(os.path.join(out_dir, "**", "*"), recursive=True)
+        files = [f for f in files if os.path.isfile(f)]
+        print("trace captured:", flush=True)
+        for f in sorted(files):
+            print(f"  {os.path.relpath(f, out_dir)}  {os.path.getsize(f)} B",
+                  flush=True)
+    except Exception as e:  # record the failure — that's a result too
+        print(f"trace FAILED: {type(e).__name__}: {e}", flush=True)
+
+
 def main(argv=None) -> None:
     which = (argv or sys.argv[1:] or ["bank"])[0]
     from ..core.cache import enable_compilation_cache
@@ -201,8 +390,16 @@ def main(argv=None) -> None:
         probe_bank()
     elif which == "parts":
         probe_parts()
+    elif which == "residual":
+        probe_residual()
+    elif which == "opt":
+        probe_opt()
+    elif which == "profile":
+        probe_profile()
     else:
-        raise SystemExit(f"unknown probe {which!r} (bank|parts)")
+        raise SystemExit(
+            f"unknown probe {which!r} (bank|parts|residual|opt|profile)"
+        )
 
 
 if __name__ == "__main__":

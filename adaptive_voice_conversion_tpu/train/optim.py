@@ -32,17 +32,33 @@ class ScaleByTorchAmsgradState(NamedTuple):
 
 
 def scale_by_torch_amsgrad(
-    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    state_dtype=None,
 ) -> optax.GradientTransformation:
     """AMSGrad with torch.optim.Adam(amsgrad=True) semantics.
 
     torch maxes the RAW second moment (max_exp_avg_sq = max(prev, nu)) and
     bias-corrects with the CURRENT step's (1 - b2^t); optax's built-in
     amsgrad maxes the bias-corrected moments, which diverges after step 1.
+
+    ``state_dtype``: storage dtype for the three moment trees. ``None``
+    keeps the param dtype (f32 — torch-bit-exact, the parity-gate mode);
+    ``jnp.bfloat16`` halves the Adam-state HBM traffic (the largest
+    memory-bound term left in the train step after round 2's roofline:
+    3 moment trees read+written per step). Moment ARITHMETIC always runs in
+    f32 — only the carried state is rounded, so the f32 master params see
+    f32 update math either way.
     """
 
+    def _store(x):
+        return x if state_dtype is None else x.astype(state_dtype)
+
     def init_fn(params):
-        z = lambda: jax.tree.map(jnp.zeros_like, params)
+        z = lambda: jax.tree.map(
+            lambda p: jnp.zeros(p.shape, state_dtype or p.dtype), params
+        )
         return ScaleByTorchAmsgradState(
             count=jnp.zeros([], jnp.int32), mu=z(), nu=z(), nu_max=z()
         )
@@ -50,28 +66,57 @@ def scale_by_torch_amsgrad(
     def update_fn(updates, state, params=None):
         del params
         count = state.count + 1
-        mu = jax.tree.map(lambda g, m: b1 * m + (1 - b1) * g, updates, state.mu)
-        nu = jax.tree.map(
-            lambda g, v: b2 * v + (1 - b2) * jnp.square(g), updates, state.nu
+        f32 = lambda t: jax.tree.map(
+            lambda l: l.astype(jnp.float32), t
+        ) if state_dtype is not None else t
+        mu = jax.tree.map(
+            lambda g, m: b1 * m + (1 - b1) * g, updates, f32(state.mu)
         )
-        nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
+        nu = jax.tree.map(
+            lambda g, v: b2 * v + (1 - b2) * jnp.square(g),
+            updates,
+            f32(state.nu),
+        )
+        nu_max = jax.tree.map(jnp.maximum, f32(state.nu_max), nu)
         bc1 = 1 - b1**count.astype(jnp.float32)
         bc2 = 1 - b2**count.astype(jnp.float32)
         out = jax.tree.map(
             lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu_max
         )
-        return out, ScaleByTorchAmsgradState(count=count, mu=mu, nu=nu, nu_max=nu_max)
+        return out, ScaleByTorchAmsgradState(
+            count=count,
+            mu=jax.tree.map(_store, mu),
+            nu=jax.tree.map(_store, nu),
+            nu_max=jax.tree.map(_store, nu_max),
+        )
 
     return optax.GradientTransformation(init_fn, update_fn)
 
 
 def make_optimizer(
-    cfg: OptimizerConfig, sn: bool = False
+    cfg: OptimizerConfig,
+    sn: bool = False,
+    state_dtype: str = "float32",
+    fused: bool = False,
 ) -> optax.GradientTransformation:
+    """``fused=True`` wraps the chain in ``optax.flatten``: the whole update
+    runs on ONE raveled parameter vector instead of ~85 leaves. The round-3
+    profiler trace showed apply_updates alone exploding into 166 small
+    fusions costing 0.34 ms of the 4.75 ms step; flattening turns the
+    optimizer into a handful of 9M-element elementwise ops. Element-wise
+    math is identical; only the global-norm reduction order changes
+    (one flat sum vs per-leaf partials), a <1 ulp-level difference — the
+    torch-bit-exact parity mode keeps the default unflattened chain.
+    Incompatible with sn=True (the masked-u chain needs tree structure)."""
+    sd = jnp.bfloat16 if state_dtype == "bfloat16" else None
     inner = (
-        scale_by_torch_amsgrad(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
+        scale_by_torch_amsgrad(
+            b1=cfg.beta1, b2=cfg.beta2, eps=1e-8, state_dtype=sd
+        )
         if cfg.amsgrad
-        else optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
+        else optax.scale_by_adam(
+            b1=cfg.beta1, b2=cfg.beta2, eps=1e-8, mu_dtype=sd
+        )
     )
     chain = optax.chain(
         optax.clip_by_global_norm(cfg.grad_norm),
@@ -80,7 +125,7 @@ def make_optimizer(
         optax.scale(-cfg.lr),
     )
     if not sn:
-        return chain
+        return optax.flatten(chain) if fused else chain
     # sn=True: the param tree carries spectral-norm power-iteration buffers
     # `u` (like torch's weight_u). Their grads are exactly zero (the
     # iterates are detached), so clipping is unaffected — but weight decay

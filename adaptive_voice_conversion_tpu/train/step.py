@@ -92,7 +92,10 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None):
         loss, grad_norm} (grad_norm is the pre-clip global norm, like torch
         clip_grad_norm_'s return value).
     """
-    opt = make_optimizer(cfg.optimizer, sn=cfg.model.decoder.sn)
+    opt = make_optimizer(
+        cfg.optimizer, sn=cfg.model.decoder.sn,
+        state_dtype=cfg.opt_state_dtype, fused=cfg.opt_fused,
+    )
 
     def init_fn(params):
         return opt.init(params)
@@ -143,7 +146,10 @@ def make_device_data_train_step(
     be padded to a fixed length so differently-sized HBM chunks reuse one
     compiled program (data/chunked.py double-buffered >HBM streaming).
     """
-    opt = make_optimizer(cfg.optimizer, sn=cfg.model.decoder.sn)
+    opt = make_optimizer(
+        cfg.optimizer, sn=cfg.model.decoder.sn,
+        state_dtype=cfg.opt_state_dtype, fused=cfg.opt_fused,
+    )
     sn = cfg.model.decoder.sn
     b = cfg.data_loader.batch_size
     seg = cfg.data_loader.segment_size

@@ -168,3 +168,31 @@ def test_bfloat16_compute_path():
     assert np.isfinite(float(m["loss"]))
     # params remain f32 master copies
     assert jax.tree_util.tree_leaves(p)[0].dtype == jnp.float32
+
+
+def test_bf16_optimizer_state_tracks_f32():
+    """opt_state_dtype='bfloat16' stores Adam moments in bf16 (halved HBM
+    traffic) with f32 update math and f32 master params; the short-horizon
+    trajectory must stay close to the torch-bit-exact f32 mode."""
+    cfg16 = TrainConfig(
+        model=TINY.model, data_loader=TINY.data_loader,
+        opt_state_dtype="bfloat16",
+    )
+    p32 = init_ae(jax.random.PRNGKey(0), TINY.model)
+    p16 = init_ae(jax.random.PRNGKey(0), TINY.model)
+    i32, s32f = make_train_step(TINY)
+    i16, s16f = make_train_step(cfg16)
+    o32, o16 = i32(p32), i16(p16)
+    mus16 = jax.tree_util.tree_leaves(o16[2].mu)
+    assert all(l.dtype == jnp.bfloat16 for l in mus16)
+    for it in range(10):
+        x = batch(seed=it)
+        rng = jax.random.PRNGKey(100 + it)
+        p32, o32, m32 = s32f(p32, o32, x, rng, jnp.float32(0.5))
+        p16, o16, m16 = s16f(p16, o16, x, rng, jnp.float32(0.5))
+    # master params f32 in both modes
+    assert jax.tree_util.tree_leaves(p16)[0].dtype == jnp.float32
+    a = np.concatenate([np.ravel(l) for l in jax.tree_util.tree_leaves(p32)])
+    b = np.concatenate([np.ravel(l) for l in jax.tree_util.tree_leaves(p16)])
+    np.testing.assert_allclose(a, b, atol=5e-4)
+    assert abs(float(m32["loss"]) - float(m16["loss"])) < 1e-2
