@@ -129,6 +129,7 @@ class Solver:
                 inner_steps=c.inner_steps,
                 seed=a.seed,
                 mesh=self.mesh,
+                repeats=c.chunk_repeats,
             )
 
     def _build_model(self):
@@ -270,13 +271,21 @@ class Solver:
         steps_done = 0
         last_summary = None
         remainder_fns = {}
+        # Next-chunk H2D runs on a prefetch thread: jax.device_put blocks
+        # its calling thread while the bytes cross the (slow, variable)
+        # tunnel link, so putting synchronously here starves the dispatch
+        # queue — the round-2 0.80x chunked regression (data/chunked.py
+        # transfer-bound derivation).
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
         dev = self.chunked.put_chunk(visits[0].chunk_id) if visits else None
         for vi, v in enumerate(visits):
             nxt = visits[vi + 1] if vi + 1 < len(visits) else None
             if nxt is not None and nxt.chunk_id != v.chunk_id:
-                next_dev = self.chunked.put_chunk(nxt.chunk_id)
+                next_fut = pool.submit(self.chunked.put_chunk, nxt.chunk_id)
             else:
-                next_dev = dev
+                next_fut = None
             packed, starts, n_starts = dev
             it, endv = v.it0, v.it0 + v.k
             while it < endv:
@@ -313,7 +322,8 @@ class Solver:
                         )
                 if (it // a.save_steps) != ((it - k) // a.save_steps) or it == end:
                     self.save_model(it - 1)
-            dev = next_dev
+            dev = next_fut.result() if next_fut is not None else dev
+        pool.shutdown(wait=False)
         self.iteration = end
         if hasattr(self, "_mngr"):
             self._mngr.wait()
