@@ -89,10 +89,30 @@ def _griffin_lim_core(
 
 
 def griffin_lim_jax(
-    mag: jnp.ndarray, cfg: SignalConfig = DEFAULT_SIGNAL, n_iter: Optional[int] = None
+    mag: jnp.ndarray,
+    cfg: SignalConfig = DEFAULT_SIGNAL,
+    n_iter: Optional[int] = None,
+    method: str = "exact",
 ) -> jnp.ndarray:
-    """Batched on-TPU Griffin-Lim. mag: (..., n_freq, T)."""
+    """Batched on-TPU Griffin-Lim. mag: (..., n_freq, T).
+
+    ``method``:
+      "exact"  (default) the fori_loop over XLA FFTs — exact librosa-
+               convention iterations, the quality-first production path.
+      "pallas" the fused VMEM-resident iteration kernel
+               (kernels/griffin_lim.py): measured 4.26x faster on a v5e
+               (11.1 vs 47.3 ms for a batch of 8 seg-128 mags at 100
+               iters, KERNELS_r03.json) at a quantified quality cost
+               (spectral convergence 0.117 vs 0.083 direct, 0.139 vs
+               0.089 through the mel pseudo-inverse) from its bf16 MXU
+               passes + interior-band edge approximation. Opt in for
+               throughput-critical serving grids.
+    """
     n_iter = cfg.n_iter if n_iter is None else n_iter
+    if method == "pallas":
+        from ..kernels.griffin_lim import griffin_lim_pallas
+
+        return griffin_lim_pallas(mag, cfg, n_iter=n_iter)
     return _griffin_lim_core(mag, cfg.n_fft, cfg.hop_length, cfg.win_length, n_iter)
 
 
@@ -108,10 +128,12 @@ def mel_to_mag_jax(mel_tm: jnp.ndarray, cfg: SignalConfig = DEFAULT_SIGNAL) -> j
 def melspectrogram2wav_jax(
     mel_tm: jnp.ndarray, cfg: SignalConfig = DEFAULT_SIGNAL
 ) -> np.ndarray:
-    """On-TPU vocoder path (Griffin-Lim on device, trim on host)."""
+    """On-TPU vocoder path: Griffin-Lim AND de-preemphasis on device, one
+    D2H, trim on host (the only remaining host step)."""
+    from .audio import deemphasis_jax
+
     mag = mel_to_mag_jax(mel_tm, cfg)
-    wav = np.asarray(griffin_lim_jax(mag, cfg))
-    wav = deemphasis(wav, cfg.preemphasis)
+    wav = np.asarray(deemphasis_jax(griffin_lim_jax(mag, cfg), cfg.preemphasis))
     if wav.ndim == 1:
         wav, _ = trim_silence(wav, top_db=60.0)
     return wav.astype(np.float32)

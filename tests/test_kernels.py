@@ -124,3 +124,50 @@ def test_stft_mel_pallas_block_padding_is_inert():
         np.asarray(mel[t:]), np.full((t_pad - t, CFG.n_mels), max(floor, 1e-8)),
         atol=1e-6,
     )
+
+
+def test_griffin_lim_pallas_quality_tracks_xla():
+    """Fused GL iteration kernel (interpret mode off-TPU) must converge to
+    the same spectral-convergence neighborhood as the exact XLA-FFT path;
+    the kernel's interior-band approximation + bf16 MXU may cost a bounded
+    SC increase (measured ~0.01-0.03 at 100 iters) but must not diverge."""
+    from adaptive_voice_conversion_tpu.dsp.stft import stft_np
+    from adaptive_voice_conversion_tpu.dsp.vocoder import griffin_lim_jax
+    from adaptive_voice_conversion_tpu.kernels.griffin_lim import (
+        griffin_lim_pallas,
+    )
+
+    cfg = SignalConfig()
+    t = np.arange(int(0.7 * cfg.sr)) / cfg.sr
+    y = (
+        0.5 * np.sin(2 * np.pi * 220 * t)
+        + 0.3 * np.sin(2 * np.pi * 440 * t) * np.exp(-2 * t)
+    ).astype(np.float32)
+    mag = np.abs(
+        stft_np(y, cfg.n_fft, cfg.hop_length, cfg.win_length)
+    ).astype(np.float32)
+
+    def sc(wav):
+        est = np.abs(
+            stft_np(np.asarray(wav), cfg.n_fft, cfg.hop_length, cfg.win_length)
+        )
+        f = min(est.shape[1], mag.shape[1])
+        return float(
+            np.linalg.norm(est[:, :f] - mag[:, :f]) / np.linalg.norm(mag[:, :f])
+        )
+
+    n_it = 30  # interpret mode: keep CPU cost bounded
+    sc_x = sc(griffin_lim_jax(jnp.asarray(mag), cfg, n_iter=n_it))
+    w_p = griffin_lim_pallas(jnp.asarray(mag), cfg, n_iter=n_it, interpret=True)
+    sc_p = sc(w_p)
+    assert np.isfinite(np.asarray(w_p)).all()
+    # converged to a real phase estimate, within a bounded gap of exact
+    assert sc_p < sc_x + 0.05, (sc_p, sc_x)
+
+    # batched path agrees with single (same mag twice -> identical rows)
+    w_b = griffin_lim_pallas(
+        jnp.asarray(np.stack([mag, mag])), cfg, n_iter=5, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_b[0]), np.asarray(w_b[1]), rtol=0, atol=1e-6
+    )
