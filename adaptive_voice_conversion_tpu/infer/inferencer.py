@@ -59,6 +59,7 @@ class Inferencer:
         self._jit_inference = jax.jit(
             lambda p, x, xc: ae_inference(p, self.config.model, x, xc)
         )
+        self._jit_vocode = {}  # (gl_method, gl_iters) -> jitted vocode fn
 
     # -- constructors -----------------------------------------------------
 
@@ -141,6 +142,7 @@ class Inferencer:
         src_mels: Sequence[np.ndarray],
         tar_mels: Sequence[np.ndarray],
         gl_iters: Optional[int] = None,
+        gl_method: str = "exact",
     ) -> List[np.ndarray]:
         """All pairs (src_i, tar_j) in ONE padded batch through the model and
         one batched TPU Griffin-Lim call. Returns wavs row-major (i * n_t + j).
@@ -155,7 +157,7 @@ class Inferencer:
         one-at-a-time conversion; group equal-length sources for exactness.
         """
         from ..dsp.vocoder import griffin_lim_jax, mel_to_mag_jax
-        from ..dsp.audio import deemphasis, trim_silence
+        from ..dsp.audio import deemphasis_jax, trim_silence
 
         cfg = self.config.signal
         ns, nt = len(src_mels), len(tar_mels)
@@ -175,18 +177,36 @@ class Inferencer:
         # cross product: repeat sources per target, tile targets per source
         src_b = np.repeat(src, nt, axis=0)
         tar_b = np.tile(tar, (ns, 1, 1))
-        dec = np.asarray(
-            self._jit_inference(self.params, jnp.asarray(src_b), jnp.asarray(tar_b))
+        # the whole post-model chain — denormalize, mel->linear, Griffin-
+        # Lim, de-preemphasis — is ONE jitted program: dec never visits the
+        # host, eager per-op dispatch (20-35 ms each through the tunnel)
+        # disappears, and there is a single bulk D2H of the finished wavs.
+        # Trim is the only host step left (reference runs lfilter + trim
+        # per wav on the host, inference.py:62-93 / utils.py:106-109).
+        vkey = (gl_method, gl_iters)
+        vocode = self._jit_vocode.get(vkey)
+        if vocode is None:
+            mean = jnp.asarray(self.attr["mean"], jnp.float32)
+            std = jnp.asarray(self.attr["std"], jnp.float32)
+
+            @jax.jit
+            def vocode(dec):
+                dec = dec * std + mean
+                mag = mel_to_mag_jax(dec, cfg)
+                w = griffin_lim_jax(mag, cfg, n_iter=gl_iters,
+                                    method=gl_method)
+                return deemphasis_jax(w, cfg.preemphasis)
+
+            self._jit_vocode[vkey] = vocode
+        dec_dev = self._jit_inference(
+            self.params, jnp.asarray(src_b), jnp.asarray(tar_b)
         )
-        dec = dec * self.attr["std"] + self.attr["mean"]
-        mag = mel_to_mag_jax(jnp.asarray(dec), cfg)
-        wavs = np.asarray(griffin_lim_jax(mag, cfg, n_iter=gl_iters))
+        wavs = np.asarray(vocode(dec_dev))
         out = []
         for i in range(ns):
             true_t = src_mels[i].shape[0]
             n_samp = cfg.hop_length * (true_t - 1)
             for j in range(nt):
-                w = deemphasis(wavs[i * nt + j][:n_samp], cfg.preemphasis)
-                w, _ = trim_silence(w, top_db=60.0)
+                w, _ = trim_silence(wavs[i * nt + j][:n_samp], top_db=60.0)
                 out.append(w.astype(np.float32))
         return out

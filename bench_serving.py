@@ -46,11 +46,28 @@ def main() -> None:
     # warmup/compile
     wavs = inf.convert_grid(srcs, tgts)
     n_conv = len(wavs)
-    t0 = time.time()
-    reps = 3
+    # median-of-N with spread: the axon-tunnel D2H rate varies ~2x between
+    # runs (round 2 recorded 22.3 then 13.1 conv/s 40 min apart); with
+    # de-preemphasis on device and one bulk D2H the tunnel exposure is one
+    # transfer, and the median over >=5 trials is the reported figure
+    reps = 7
+    times = []
     for _ in range(reps):
+        t0 = time.time()
         wavs = inf.convert_grid(srcs, tgts)
-    dt = (time.time() - t0) / reps
+        times.append(time.time() - t0)
+    times = np.asarray(times)
+    dt = float(np.median(times))
+
+    # opt-in fast vocoder: fused Pallas GL kernel (quality tradeoff noted
+    # in dsp/vocoder.griffin_lim_jax; KERNELS_r03.json quantifies both)
+    _ = inf.convert_grid(srcs, tgts, gl_method="pallas")  # compile
+    times_p = []
+    for _ in range(reps):
+        t0 = time.time()
+        _ = inf.convert_grid(srcs, tgts, gl_method="pallas")
+        times_p.append(time.time() - t0)
+    dt_p = float(np.median(times_p))
     audio_s = n_conv * t_len * cfg.signal.hop_length / cfg.signal.sr
     print(
         json.dumps(
@@ -65,6 +82,18 @@ def main() -> None:
                 "vs_baseline": round(n_conv / dt / 1.23, 1),
                 "grid": f"{n_src}x{n_tgt} seg{t_len} gl{cfg.signal.n_iter}",
                 "audio_s_per_s": round(audio_s / dt, 1),
+                "trials": reps,
+                "trial_s_min_med_max": [
+                    round(float(times.min()), 3),
+                    round(dt, 3),
+                    round(float(times.max()), 3),
+                ],
+                "conv_s_iqr": [
+                    round(n_conv / float(np.percentile(times, 75)), 2),
+                    round(n_conv / float(np.percentile(times, 25)), 2),
+                ],
+                "pallas_gl_conversions_per_sec": round(n_conv / dt_p, 2),
+                "pallas_gl_speedup": round(dt / dt_p, 2),
                 "device": str(jax.devices()[0]),
             }
         )

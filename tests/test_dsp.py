@@ -321,3 +321,32 @@ def test_griffin_lim_quality_pinned_full_config_jax():
     sc_jx = _sc(mag, w_jx.astype(np.float64), FULL)
     assert sc_jx < 0.08
     assert abs(sc_np - sc_jx) < 0.02
+
+
+def test_deemphasis_jax_matches_lfilter():
+    """On-device truncated-FIR de-preemphasis vs the scipy IIR oracle
+    (reference: utils.py:106), including batch + causality-under-padding."""
+    import jax.numpy as jnp
+
+    from adaptive_voice_conversion_tpu.dsp.audio import (
+        deemphasis,
+        deemphasis_jax,
+    )
+
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(24000).astype(np.float32) * 0.3
+    ref = deemphasis(y, 0.97)
+    ours = np.asarray(deemphasis_jax(y, 0.97))
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(ref - ours)) < 2e-5 * scale
+
+    # batched, and a zero-padded tail must not change the kept prefix
+    yb = np.stack([y, np.pad(y[:20000], (0, 4000))])
+    outb = np.asarray(deemphasis_jax(yb, 0.97))
+    np.testing.assert_allclose(outb[0], ours, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(
+        outb[1][:20000],
+        np.asarray(deemphasis_jax(y[:20000], 0.97)),
+        rtol=0,
+        atol=1e-6,
+    )
