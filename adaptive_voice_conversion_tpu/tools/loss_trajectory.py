@@ -60,6 +60,20 @@ def main(argv=None) -> dict:
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--out", default="LOSS_TRAJ_r02.json")
     p.add_argument(
+        "--annealing_iters", type=int, default=0,
+        help="override the KL-anneal horizon for BOTH trainers (0 = the "
+        "shipped 20000). --steps 2000 --annealing_iters 1000 exercises the "
+        "full lambda_KL ramp AND a converged post-anneal window "
+        "(reference solver.py:101-104 regime) in a tractable run.",
+    )
+    p.add_argument(
+        "--compute_dtype", default="float32",
+        choices=["float32", "bfloat16"],
+        help="OUR trainer's compute dtype; bfloat16 + --backend default "
+        "compares the production TPU trainer against the f32 torch "
+        "reference trajectory.",
+    )
+    p.add_argument(
         "--backend",
         default="cpu",
         choices=["cpu", "default"],
@@ -85,6 +99,12 @@ def main(argv=None) -> dict:
     from ..train.step import make_train_step
 
     cfg = TrainConfig()  # full shipped config; f32 for torch comparability
+    import dataclasses as _dc
+
+    if args.annealing_iters:
+        cfg = _dc.replace(cfg, annealing_iters=args.annealing_iters)
+    if args.compute_dtype != "float32":
+        cfg = _dc.replace(cfg, compute_dtype=args.compute_dtype)
     seg = cfg.data_loader.segment_size
     n_mels = cfg.model.content_encoder.c_in
 
@@ -109,7 +129,7 @@ def main(argv=None) -> dict:
     )
     lam_kl_max = raw["lambda"]["lambda_kl"]
     lam_rec = raw["lambda"]["lambda_rec"]
-    anneal = raw["annealing_iters"]
+    anneal = args.annealing_iters or raw["annealing_iters"]
     torch.manual_seed(args.seed + 2)
     torch.set_num_threads(2)
 
@@ -193,7 +213,11 @@ def main(argv=None) -> dict:
     out = {
         "steps": args.steps,
         "batch": args.batch,
-        "config": "full shipped config.yaml, f32, identical torch init",
+        "config": (
+            f"full shipped config.yaml, ours={args.compute_dtype}, "
+            f"annealing_iters={anneal}, identical torch init"
+        ),
+        "annealing_iters": anneal,
         "reference": {"loss_rec": ref_rec, "loss_kl": ref_kl,
                       "seconds": round(t_ref, 1)},
         "ours": {"loss_rec": our_rec, "loss_kl": our_kl,
