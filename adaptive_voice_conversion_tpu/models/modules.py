@@ -134,6 +134,11 @@ def speaker_encoder_apply(
         act,
         compute_dtype=compute_dtype,
     )
+    # NOTE ops/conv.py conv_bank_in (concat-free fused bank + split 1x1)
+    # wins in isolation (1.98 vs 2.32 ms fwd+bwd) but measured SLOWER in
+    # the full train step (5.52 vs 4.76 ms) — recorded negative result,
+    # same lesson as dual_conv_bank: the concat feeds XLA a single fusion
+    # root the split partial sums destroy.
     out = act(conv1d(out, **params["in_conv"], compute_dtype=compute_dtype))
     # conv blocks (model.py:237-250): strided second conv, ceil avg-pool residual
     for l in range(cfg.n_conv_blocks):
@@ -214,7 +219,8 @@ def content_encoder_apply(
         act,
         compute_dtype=compute_dtype,
     )
-    # IN at pre-activation on every conv (model.py:301-320)
+    # IN at pre-activation on every conv (model.py:301-320).
+    # conv_bank_in rejected here too — see speaker_encoder_apply NOTE.
     out = conv1d(out, **params["in_conv"], compute_dtype=compute_dtype)
     out = act(instance_norm_time(out))
     out = _dropout(out, rate, dkeys[0], deterministic)

@@ -1,5 +1,5 @@
 from .padding import reflect_pad_time, conv_pad_amounts
-from .conv import conv1d, dense, conv_bank, make_fused_bank_weight
+from .conv import conv1d, dense, conv_bank, conv_bank_in, make_fused_bank_weight
 from .norm import instance_norm_time, adain, act_fn
 from .resample import (
     pixel_shuffle_time,
@@ -14,6 +14,7 @@ __all__ = [
     "conv1d",
     "dense",
     "conv_bank",
+    "conv_bank_in",
     "make_fused_bank_weight",
     "instance_norm_time",
     "adain",

@@ -160,6 +160,72 @@ def conv_bank(
     return jnp.concatenate(outs + [x.astype(outs[0].dtype)], axis=-1)
 
 
+def conv_bank_in(
+    x: jnp.ndarray,
+    bank_ws: Sequence[jnp.ndarray],
+    bank_bs: Sequence[jnp.ndarray],
+    kernel_sizes: Sequence[int],
+    act,
+    w_in: jnp.ndarray,
+    b_in: Optional[jnp.ndarray],
+    compute_dtype: Optional[jnp.dtype] = None,
+    group_size: int = 2,
+) -> jnp.ndarray:
+    """Fused bank + 1x1 in-conv WITHOUT materializing the concat.
+
+    The encoders follow the bank with a 1x1 conv over the concatenated
+    (n_k*c_bank + C_in) channels (reference: model.py:226,268-269). A 1x1
+    conv over a concat equals the SUM of per-block partial products with
+    the corresponding weight rows, so the (B, T, 1536) concat tensor never
+    exists. RECORDED EXPERIMENT, not on the production path: the
+    scan-amortized probe measured bank+in_conv fwd+bwd 1.98 vs 2.32 ms in
+    isolation (tools/perf_probes.py probe_bank_split), but the FULL train
+    step regressed 4.76 -> 5.52 ms with this op on both encoders — the
+    same lesson as dual_conv_bank: splitting the 1x1 into partial sums
+    destroys the single fusion root XLA builds around the concat.
+    Production keeps conv_bank -> conv1d (models/modules.py NOTE).
+
+    Returns the 1x1 conv OUTPUT (pre-activation), f32-or-compute_dtype —
+    numerically a reordered sum vs conv_bank->conv1d (identical math,
+    different float association; parity pinned in tests/test_ops.py).
+    """
+    w_in2d = w_in[0] if w_in.ndim == 3 else w_in  # (C_total, C_out)
+    pdt = compute_dtype if compute_dtype is not None else jnp.float32
+    b_all = jnp.concatenate([jnp.asarray(bb) for bb in bank_bs], axis=0)
+    acc = None
+    c_off = 0
+    for g in range(0, len(kernel_sizes), group_size):
+        g_ws = list(bank_ws[g : g + group_size])
+        g_ks = list(kernel_sizes[g : g + group_size])
+        k_max = max(g_ks)
+        left, right = conv_pad_amounts(k_max)
+        w = make_fused_bank_weight(g_ws, g_ks)
+        xp = reflect_pad_time(x, left, right)
+        if compute_dtype is not None:
+            xp = xp.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+        out = lax.conv_general_dilated(
+            xp,
+            w,
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=DIMENSION_NUMBERS,
+            preferred_element_type=pdt,
+        )
+        n_out = w.shape[2]
+        out = act(out + b_all[c_off : c_off + n_out].astype(out.dtype))
+        w_blk = w_in2d[c_off : c_off + n_out].astype(out.dtype)
+        term = jnp.dot(out, w_blk, preferred_element_type=pdt)
+        acc = term if acc is None else acc + term
+        c_off += n_out
+    x_dt = x.astype(pdt if compute_dtype is None else compute_dtype)
+    w_x = w_in2d[c_off:].astype(x_dt.dtype)
+    acc = acc + jnp.dot(x_dt, w_x, preferred_element_type=pdt)
+    if b_in is not None:
+        acc = acc + b_in.astype(acc.dtype)
+    return acc
+
+
 def dual_conv_bank(
     x: jnp.ndarray,
     banks,

@@ -287,6 +287,94 @@ def probe_residual() -> None:
               flush=True)
 
 
+def probe_bank_split() -> None:
+    """Can the (B,T,1536) bank-concat materialization be avoided?
+
+    The round-3 trace shows ~0.08 ms/step of copy + 0.06 ms of concat loop
+    fusion around the bank output. The 1x1 in_conv over a concat equals the
+    SUM of per-group 1x1 partial products (split weight rows), which never
+    materializes the 1536-channel tensor. Compares bank->concat->1x1
+    against bank->partial-matmuls->sum, fwd and fwd+bwd, B=128 T=128 bf16.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..models.modules import _init_conv
+    from ..ops.conv import (
+        DIMENSION_NUMBERS,
+        make_fused_bank_weight,
+    )
+    from ..ops.padding import conv_pad_amounts, reflect_pad_time
+
+    B, T, C_IN, C_BANK, C_H = 128, 128, 512, 128, 128
+    KS = list(range(1, 9))
+    DT = jnp.bfloat16
+    keys = jax.random.split(jax.random.PRNGKey(0), len(KS) + 1)
+    bank = [_init_conv(k_, k, C_IN, C_BANK) for k_, k in zip(keys, KS)]
+    in_conv = _init_conv(keys[-1], 1, C_BANK * len(KS) + C_IN, C_H)
+    w_in = in_conv["w"][0]  # (1536, C_H)
+    b_in = in_conv["b"]
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, T, C_IN)).astype(np.float32)
+    )
+    act = jax.nn.relu
+    groups = [(0, 1), (2, 3), (4, 5), (6, 7)]
+
+    def group_outs(xx):
+        outs = []
+        for idx in groups:
+            g_ks = [KS[i] for i in idx]
+            w = make_fused_bank_weight([bank[i]["w"] for i in idx], g_ks)
+            b = jnp.concatenate([bank[i]["b"] for i in idx], axis=0)
+            left, right = conv_pad_amounts(max(g_ks))
+            xp = reflect_pad_time(xx, left, right).astype(DT)
+            o = lax.conv_general_dilated(
+                xp, w.astype(DT), (1,), "VALID",
+                dimension_numbers=DIMENSION_NUMBERS,
+                preferred_element_type=DT,
+            )
+            outs.append(act(o + b.astype(o.dtype)))
+        return outs
+
+    def concat_then_1x1(xx):
+        outs = group_outs(xx) + [xx.astype(DT)]
+        cat = jnp.concatenate(outs, axis=-1)
+        return act(
+            jnp.dot(cat, w_in.astype(DT), preferred_element_type=DT)
+            + b_in.astype(DT)
+        )
+
+    def split_partials(xx):
+        outs = group_outs(xx)
+        acc = None
+        off = 0
+        for o in outs + [xx.astype(DT)]:
+            n = o.shape[-1]
+            term = jnp.dot(
+                o, w_in[off : off + n].astype(DT),
+                preferred_element_type=DT,
+            )
+            acc = term if acc is None else acc + term
+            off += n
+        return act(acc + b_in.astype(DT))
+
+    y0 = np.asarray(jax.jit(concat_then_1x1)(x), np.float32)
+    y1 = np.asarray(jax.jit(split_partials)(x), np.float32)
+    print(f"split vs concat max|diff| = {np.max(np.abs(y0 - y1)):.2e}")
+    for name, fn in (("concat+1x1", concat_then_1x1),
+                     ("split-partials", split_partials)):
+        dt_f = _scan_time(lambda xx: jnp.sum(fn(xx).astype(jnp.float32)), x)
+        dt_b = _scan_time(
+            lambda xx: jnp.sum(
+                jax.grad(lambda d_: jnp.sum(fn(d_).astype(jnp.float32) ** 2))(xx)
+            ),
+            x,
+        )
+        print(f"{name}: fwd {dt_f*1e3:.4f} ms   fwd+bwd {dt_b*1e3:.4f} ms",
+              flush=True)
+
+
 def probe_opt() -> None:
     """Full fused multi-step A/B: opt_state_dtype float32 vs bfloat16."""
     import dataclasses
@@ -392,13 +480,15 @@ def main(argv=None) -> None:
         probe_parts()
     elif which == "residual":
         probe_residual()
+    elif which == "bank_split":
+        probe_bank_split()
     elif which == "opt":
         probe_opt()
     elif which == "profile":
         probe_profile()
     else:
         raise SystemExit(
-            f"unknown probe {which!r} (bank|parts|residual|opt|profile)"
+            f"unknown probe {which!r} (bank|parts|residual|bank_split|opt|profile)"
         )
 
 

@@ -241,3 +241,35 @@ def test_ae_forward_matches_standalone_encoders():
     np.testing.assert_allclose(np.asarray(emb), np.asarray(emb_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(ls), np.asarray(ls_ref), atol=1e-6)
+
+
+def test_conv_bank_in_matches_concat_then_conv1d():
+    """conv_bank_in (fused bank + split 1x1, no concat tensor) must equal
+    conv_bank -> conv1d up to float re-association of the 1536-row dot."""
+    import jax
+
+    from adaptive_voice_conversion_tpu.ops import conv1d, conv_bank, conv_bank_in
+
+    rng = np.random.default_rng(0)
+    B, T, C_IN, C_BANK, C_H = 3, 16, 24, 8, 12
+    ks = [1, 2, 3, 4]
+    bank_ws = [
+        jnp.asarray(rng.standard_normal((k, C_IN, C_BANK)).astype(np.float32))
+        for k in ks
+    ]
+    bank_bs = [
+        jnp.asarray(rng.standard_normal(C_BANK).astype(np.float32)) for _ in ks
+    ]
+    c_total = C_BANK * len(ks) + C_IN
+    w_in = jnp.asarray(
+        rng.standard_normal((1, c_total, C_H)).astype(np.float32)
+    )
+    b_in = jnp.asarray(rng.standard_normal(C_H).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((B, T, C_IN)).astype(np.float32))
+    act = jax.nn.relu
+
+    ref = conv1d(conv_bank(x, bank_ws, bank_bs, ks, act), w_in, b_in)
+    fused = conv_bank_in(x, bank_ws, bank_bs, ks, act, w_in, b_in)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(fused), rtol=1e-5, atol=1e-5
+    )
