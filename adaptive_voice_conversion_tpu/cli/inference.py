@@ -23,6 +23,11 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("-sample_rate", "-sr", default=24000, type=int)
     parser.add_argument("--cpu_vocoder", action="store_true",
                         help="use the numpy Griffin-Lim instead of TPU")
+    parser.add_argument("--gl_method", default="exact",
+                        choices=["exact", "pallas"],
+                        help="Griffin-Lim impl: exact XLA-FFT loop, or the "
+                        "fused Pallas kernel (4.26x faster, slightly lower "
+                        "spectral convergence; see KERNELS_r03.json)")
     return parser
 
 
@@ -35,11 +40,13 @@ def main(argv=None) -> None:
     config = load_config(args.config)
     if os.path.isdir(f"{args.model}.orbax"):
         inferencer = Inferencer.from_orbax(
-            config, args.model, args.attr, use_tpu_vocoder=not args.cpu_vocoder
+            config, args.model, args.attr,
+            use_tpu_vocoder=not args.cpu_vocoder, gl_method=args.gl_method,
         )
     else:
         inferencer = Inferencer.from_torch_checkpoint(
-            config, args.model, args.attr, use_tpu_vocoder=not args.cpu_vocoder
+            config, args.model, args.attr,
+            use_tpu_vocoder=not args.cpu_vocoder, gl_method=args.gl_method,
         )
     inferencer.inference_from_path(args.source, args.target, args.output)
 

@@ -126,14 +126,19 @@ def mel_to_mag_jax(mel_tm: jnp.ndarray, cfg: SignalConfig = DEFAULT_SIGNAL) -> j
 
 
 def melspectrogram2wav_jax(
-    mel_tm: jnp.ndarray, cfg: SignalConfig = DEFAULT_SIGNAL
+    mel_tm: jnp.ndarray, cfg: SignalConfig = DEFAULT_SIGNAL,
+    gl_method: str = "exact",
 ) -> np.ndarray:
     """On-TPU vocoder path: Griffin-Lim AND de-preemphasis on device, one
     D2H, trim on host (the only remaining host step)."""
     from .audio import deemphasis_jax
 
     mag = mel_to_mag_jax(mel_tm, cfg)
-    wav = np.asarray(deemphasis_jax(griffin_lim_jax(mag, cfg), cfg.preemphasis))
+    wav = np.asarray(
+        deemphasis_jax(
+            griffin_lim_jax(mag, cfg, method=gl_method), cfg.preemphasis
+        )
+    )
     if wav.ndim == 1:
         wav, _ = trim_silence(wav, top_db=60.0)
     return wav.astype(np.float32)

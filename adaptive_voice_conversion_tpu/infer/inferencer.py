@@ -50,10 +50,14 @@ class Inferencer:
         params: dict,
         attr_path: str,
         use_tpu_vocoder: bool = True,
+        gl_method: str = "exact",
     ):
         self.config = config
         self.params = params
         self.use_tpu_vocoder = use_tpu_vocoder
+        # "pallas": opt-in fused Griffin-Lim kernel (dsp/vocoder.py
+        # griffin_lim_jax docstring for the speed/quality tradeoff)
+        self.gl_method = gl_method
         with open(attr_path, "rb") as f:
             self.attr = pickle.load(f)
         self._jit_inference = jax.jit(
@@ -118,7 +122,9 @@ class Inferencer:
         dec = self.convert_mel(src_mel, tar_mel)
         dec = self.denormalize(dec)
         if self.use_tpu_vocoder:
-            wav = melspectrogram2wav_jax(jnp.asarray(dec), self.config.signal)
+            wav = melspectrogram2wav_jax(
+                jnp.asarray(dec), self.config.signal, gl_method=self.gl_method
+            )
         else:
             wav = melspectrogram2wav(dec, self.config.signal)
         return wav, dec
