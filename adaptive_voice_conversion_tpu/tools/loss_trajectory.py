@@ -67,6 +67,12 @@ def main(argv=None) -> dict:
         "(reference solver.py:101-104 regime) in a tractable run.",
     )
     p.add_argument(
+        "--ref_from", default="",
+        help="reuse the reference trajectory from a previous output JSON "
+        "(same seed/steps/batch/annealing_iters) instead of re-running the "
+        "torch trainer — the reference curve is deterministic given those.",
+    )
+    p.add_argument(
         "--compute_dtype", default="float32",
         choices=["float32", "bfloat16"],
         help="OUR trainer's compute dtype; bfloat16 + --backend default "
@@ -133,10 +139,20 @@ def main(argv=None) -> dict:
     torch.manual_seed(args.seed + 2)
     torch.set_num_threads(2)
 
-    ref_rec, ref_kl = [], []
+    if args.ref_from:
+        prev = json.load(open(args.ref_from))
+        assert prev["steps"] == args.steps and prev["batch"] == args.batch, (
+            "--ref_from run shape mismatch"
+        )
+        assert prev.get("annealing_iters", raw["annealing_iters"]) == anneal
+        ref_rec = prev["reference"]["loss_rec"]
+        ref_kl = prev["reference"]["loss_kl"]
+        t_ref = prev["reference"]["seconds"]
+    else:
+        ref_rec, ref_kl = [], []
     t0 = time.time()
     crit = torch.nn.L1Loss()
-    for it in range(args.steps):
+    for it in range(0 if args.ref_from else args.steps):
         x = torch.from_numpy(
             np.ascontiguousarray(pool[picks[it]].transpose(0, 2, 1))
         )  # (B, n_mels, T) channels-first
@@ -161,7 +177,8 @@ def main(argv=None) -> dict:
                 f"({time.time() - t0:.0f}s)",
                 flush=True,
             )
-    t_ref = time.time() - t0
+    if not args.ref_from:
+        t_ref = time.time() - t0
 
     # ---- our trainer: the production jitted step (f32) ----
     import jax
