@@ -180,9 +180,11 @@ class Inferencer:
 
         src = np.stack([pad_to(m.astype(np.float32), ts) for m in src_mels])
         tar = np.stack([tile_to(m.astype(np.float32), tt) for m in tar_mels])
-        # cross product: repeat sources per target, tile targets per source
-        src_b = np.repeat(src, nt, axis=0)
-        tar_b = np.tile(tar, (ns, 1, 1))
+        # cross product ON DEVICE: only the ns + nt unique mels cross the
+        # host->device link (the repeated ns*nt batch is ~ns x larger and
+        # the tunnel H2D is the serving path's scarcest resource)
+        src_b = jnp.repeat(jnp.asarray(src), nt, axis=0)
+        tar_b = jnp.tile(jnp.asarray(tar), (ns, 1, 1))
         # the whole post-model chain — denormalize, mel->linear, Griffin-
         # Lim, de-preemphasis — is ONE jitted program: dec never visits the
         # host, eager per-op dispatch (20-35 ms each through the tunnel)
@@ -204,9 +206,7 @@ class Inferencer:
                 return deemphasis_jax(w, cfg.preemphasis)
 
             self._jit_vocode[vkey] = vocode
-        dec_dev = self._jit_inference(
-            self.params, jnp.asarray(src_b), jnp.asarray(tar_b)
-        )
+        dec_dev = self._jit_inference(self.params, src_b, tar_b)
         wavs = np.asarray(vocode(dec_dev))
         out = []
         for i in range(ns):
