@@ -110,9 +110,20 @@ def griffin_lim_jax(
     """
     n_iter = cfg.n_iter if n_iter is None else n_iter
     if method == "pallas":
-        from ..kernels.griffin_lim import griffin_lim_pallas
+        from ..kernels.griffin_lim import MAX_KERNEL_FRAMES, griffin_lim_pallas
 
-        return griffin_lim_pallas(mag, cfg, n_iter=n_iter)
+        if mag.shape[-1] <= MAX_KERNEL_FRAMES:
+            return griffin_lim_pallas(mag, cfg, n_iter=n_iter)
+        # the kernel keeps all state + DFT matrices VMEM-resident, which
+        # bounds the frame count; longer utterances take the exact path
+        import warnings
+
+        warnings.warn(
+            f"griffin_lim method='pallas' supports <= {MAX_KERNEL_FRAMES} "
+            f"frames (VMEM residency); got {mag.shape[-1]} — using the "
+            "exact XLA path",
+            stacklevel=2,
+        )
     return _griffin_lim_core(mag, cfg.n_fft, cfg.hop_length, cfg.win_length, n_iter)
 
 

@@ -51,6 +51,13 @@ from ..dsp.stft import hann_window, istft_jax
 
 FREQ_PAD = 128  # lane alignment for the frequency axis
 
+# VMEM budget bounds the frames one program can hold: shared DFT matrices
+# ~5.9 MB (bf16) + per-frame state (re/im/mag f32 @ f_pad + syn/acc f32 @
+# s_pad) ~24 KB/frame against ~16 MB/core -> cap t_pad at 384 (4.8 s of
+# audio at hop 300 / 24 kHz). Longer utterances use the exact XLA path
+# (dsp/vocoder.griffin_lim_jax auto-falls back).
+MAX_KERNEL_FRAMES = 384
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m

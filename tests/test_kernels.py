@@ -171,3 +171,26 @@ def test_griffin_lim_pallas_quality_tracks_xla():
     np.testing.assert_allclose(
         np.asarray(w_b[0]), np.asarray(w_b[1]), rtol=0, atol=1e-6
     )
+
+
+def test_griffin_lim_pallas_long_input_falls_back():
+    """Utterances beyond the kernel's VMEM frame cap must take the exact
+    path (with a warning), not fail to compile."""
+    import warnings
+
+    from adaptive_voice_conversion_tpu.dsp.vocoder import griffin_lim_jax
+    from adaptive_voice_conversion_tpu.kernels.griffin_lim import (
+        MAX_KERNEL_FRAMES,
+    )
+
+    cfg = SignalConfig()
+    mag = jnp.asarray(
+        np.abs(np.random.default_rng(0).standard_normal(
+            (1, 1 + cfg.n_fft // 2, MAX_KERNEL_FRAMES + 8)
+        )).astype(np.float32)
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        wav = griffin_lim_jax(mag, cfg, n_iter=2, method="pallas")
+    assert any("frames" in str(x.message) for x in w)
+    assert np.isfinite(np.asarray(wav)).all()
