@@ -393,16 +393,18 @@ def probe_opt() -> None:
                          dtype=jnp.bfloat16)
     starts = jnp.asarray(rng.integers(0, 40_000 - 128, size=200_000)
                          .astype(np.int32))
-    for sd, fused in (
-        ("float32", False), ("bfloat16", False),
-        ("float32", True), ("bfloat16", True),
+    for sd, fused, unroll in (
+        ("float32", False, 1), ("bfloat16", False, 1),
+        ("bfloat16", False, 2), ("bfloat16", False, 5),
     ):
         cfg = dataclasses.replace(
             TrainConfig(), compute_dtype="bfloat16", data_dtype="bfloat16",
             opt_state_dtype=sd, opt_fused=fused, inner_steps=10,
         )
         params = init_ae(jax.random.PRNGKey(0), cfg.model)
-        init_fn, fn = make_device_data_train_step(cfg, None, inner_steps=10)
+        init_fn, fn = make_device_data_train_step(
+            cfg, None, inner_steps=10, unroll=unroll
+        )
         opt_state = init_fn(params)
         key = np.asarray(jax.random.PRNGKey(1))
         p, o, ms = fn(params, opt_state, packed, starts, key, np.int32(0))
@@ -414,8 +416,10 @@ def probe_opt() -> None:
             it += 10
         jax.block_until_ready(ms)
         dt = (_time.time() - t0) / (n_calls * 10)
-        print(f"opt_state_dtype={sd} fused={fused}: {dt*1e3:.3f} ms/step",
-              flush=True)
+        print(
+            f"opt_state_dtype={sd} fused={fused} unroll={unroll}: "
+            f"{dt*1e3:.3f} ms/step", flush=True,
+        )
 
 
 def probe_profile() -> None:

@@ -122,6 +122,7 @@ def make_device_data_train_step(
     inner_steps: int = 10,
     sharded_data: bool = False,
     padded_starts: bool = False,
+    unroll: int = 1,
 ):
     """Multi-step trainer over a device-resident dataset
     (data/device_sampler.py): one XLA call runs ``inner_steps`` iterations of
@@ -212,7 +213,7 @@ def make_device_data_train_step(
             )
 
         (params, opt_state), ms = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(inner_steps)
+            body, (params, opt_state), jnp.arange(inner_steps), unroll=unroll
         )
         return params, opt_state, ms
 
