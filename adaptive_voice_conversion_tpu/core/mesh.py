@@ -112,6 +112,14 @@ def shard_rows_for_process(mesh: Mesh, data_axis: str = "data") -> np.ndarray:
     ``make_array_from_process_local_data`` requires of the local block.
     """
     devs = mesh.devices.reshape(mesh.shape[data_axis], -1)
+    for row in devs:
+        procs = {d.process_index for d in row}
+        if len(procs) > 1:
+            raise ValueError(
+                f"data-axis row {list(row)} spans processes {sorted(procs)}; "
+                "per-process row ownership is ill-defined — lay the mesh out "
+                "so each data row's devices belong to one process"
+            )
     mine = np.array(
         [d[0].process_index == jax.process_index() for d in devs]
     )

@@ -154,3 +154,112 @@ def istft_jax(
     out = out * inv
     pad = n_fft // 2
     return out[..., pad : out.shape[-1] - pad]
+
+
+# ---------------------------------------------------------------------------
+# Length-masked batched STFT/ISTFT (exact ragged-batch Griffin-Lim support)
+#
+# A conversion grid vocodes B spectrograms of different frame counts L_b in
+# one (B, n_freq, T) array. Per-sample exactness vs the single-utterance
+# path needs two corrections (dsp/vocoder.py griffin_lim_jax_masked):
+# - ISTFT: the window-sum-squares normalizer must count only the L_b real
+#   frames (zero-magnitude pad frames contribute no signal, but the plain
+#   normalizer would still count their window energy near the tail);
+# - STFT: the center=True reflect padding must reflect at the sample's own
+#   signal end hop*(L_b - 1), not the padded buffer's physical end. Only
+#   frames whose analysis window crosses the sample's end differ — the last
+#   ceil((n_fft - n_fft//2) / hop) valid frames — so the bulk framing stays
+#   the fast slice-based path and just those edge frames are recomputed with
+#   a per-sample reflect gather.
+# ---------------------------------------------------------------------------
+
+
+def istft_env_inv_masked(
+    frame_lengths: jnp.ndarray,
+    n_frames: int,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+) -> jnp.ndarray:
+    """Per-sample inverse window-sum-squares envelope for masked ISTFT.
+
+    frame_lengths: (B,) valid frame counts. Returns (B, total) with
+    total = n_fft + hop*(n_frames-1): 1/sum_{i<L_b} w^2(t - i*hop) where
+    positive, 1 elsewhere — the ragged analogue of ``_wss_chunks``.
+    """
+    w2 = jnp.asarray(hann_window(win_length, n_fft) ** 2, dtype=jnp.float32)
+    mask = (
+        jnp.arange(n_frames)[None, :] < frame_lengths[:, None]
+    ).astype(jnp.float32)
+    frames = mask[:, :, None] * w2[None, None, :]  # (B, n_frames, n_fft)
+    wss = overlap_add(frames, hop_length)
+    tiny = jnp.float32(np.finfo(np.float32).tiny)
+    return jnp.where(wss > tiny, 1.0 / jnp.where(wss == 0, 1.0, wss), 1.0)
+
+
+def istft_jax_masked(
+    S: jnp.ndarray, env_inv: jnp.ndarray, n_fft: int, hop_length: int,
+    win_length: int,
+) -> jnp.ndarray:
+    """istft_jax with a precomputed per-sample envelope (B, total).
+
+    S must have zero magnitude at frames >= L_b (griffin_lim_jax_masked
+    maintains this), so the overlap-add signal is already per-sample exact;
+    only the normalizer needs the masked envelope.
+    """
+    w = jnp.asarray(hann_window(win_length, n_fft), dtype=jnp.float32)
+    frames = jnp.fft.irfft(jnp.swapaxes(S, -1, -2), n=n_fft, axis=-1) * w
+    out = overlap_add(frames, hop_length) * env_inv
+    pad = n_fft // 2
+    return out[..., pad : out.shape[-1] - pad]
+
+
+def n_edge_frames(n_fft: int, hop_length: int) -> int:
+    """Frames whose analysis window crosses the signal end: the window of
+    frame i spans samples [i*hop - pad, i*hop - pad + n_fft); it crosses
+    N = hop*(L-1) iff i > L - 1 - (n_fft - pad)/hop."""
+    pad = n_fft // 2
+    return -(-(n_fft - pad) // hop_length)
+
+
+def stft_jax_masked(
+    y: jnp.ndarray,
+    frame_lengths: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+) -> jnp.ndarray:
+    """stft_jax of (B, n_samples) with per-sample reflect at each sample's
+    own end hop*(L_b - 1). Frames >= L_b are garbage (masked out by the
+    caller's magnitude multiply); frames < L_b are exactly the single-sample
+    STFT of y[b, :hop*(L_b-1)].
+    """
+    w = jnp.asarray(hann_window(win_length, n_fft), dtype=jnp.float32)
+    pad = n_fft // 2
+    spec = stft_jax(y, n_fft, hop_length, win_length)  # (B, F, T) fast path
+    n_frames = spec.shape[-1]
+    n_edge = n_edge_frames(n_fft, hop_length)
+    # Recompute the n_edge frames before each sample's end with the
+    # sample's own reflect boundary. Frame index f_bj = L_b - n_edge + j.
+    fidx = frame_lengths[:, None] - n_edge + jnp.arange(n_edge)[None, :]
+    n_b = hop_length * (frame_lengths - 1)  # per-sample signal length
+    # tap positions: t = f*hop - pad + k, reflected into [0, N_b)
+    t = fidx[:, :, None] * hop_length - pad + jnp.arange(n_fft)[None, None, :]
+    t = jnp.abs(t)  # left reflect (only reachable for tiny L)
+    t = jnp.where(
+        t >= n_b[:, None, None], 2 * n_b[:, None, None] - 2 - t, t
+    )
+    t = jnp.clip(t, 0, y.shape[-1] - 1)
+    edge = jnp.take_along_axis(
+        y[:, None, :], t.reshape(t.shape[0], -1)[:, None, :], axis=-1
+    ).reshape(t.shape)
+    edge_spec = jnp.fft.rfft(edge * w, axis=-1)  # (B, n_edge, F)
+    # merge: one-hot over the frame axis (n_edge is tiny, T ~ hundreds)
+    onehot = (
+        fidx[:, None, :] == jnp.arange(n_frames)[None, :, None]
+    )  # (B, T, n_edge)
+    corrected = jnp.einsum(
+        "bjf,btj->bft", edge_spec, onehot.astype(spec.real.dtype)
+    )
+    keep = ~jnp.any(onehot, axis=-1)  # (B, T)
+    return jnp.where(keep[:, None, :], spec, corrected)

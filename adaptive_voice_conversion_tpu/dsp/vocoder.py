@@ -127,6 +127,67 @@ def griffin_lim_jax(
     return _griffin_lim_core(mag, cfg.n_fft, cfg.hop_length, cfg.win_length, n_iter)
 
 
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "n_iter"))
+def _griffin_lim_core_masked(
+    mag: jnp.ndarray,
+    frame_lengths: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    n_iter: int,
+) -> jnp.ndarray:
+    """Ragged-batch Griffin-Lim: mag (B, n_freq, T) with per-sample valid
+    frame counts L_b. For every sample, the first hop*(L_b - 1) output
+    samples are EXACTLY griffin_lim on mag[b, :, :L_b] alone.
+
+    Three ingredients (dsp/stft.py): zero magnitude at frames >= L_b (their
+    phase is irrelevant — the magnitude replacement re-zeros them each
+    iteration), a masked window-sum envelope in the ISTFT, and per-sample
+    reflect boundaries for the STFT's edge frames. This keeps the batched
+    serving vocoder bit-faithful to one-at-a-time conversion in ONE
+    compiled program (round-3 verdict item 1).
+    """
+    from .stft import istft_env_inv_masked, istft_jax_masked, stft_jax_masked
+
+    n_frames = mag.shape[-1]
+    fmask = (
+        jnp.arange(n_frames)[None, None, :] < frame_lengths[:, None, None]
+    ).astype(mag.dtype)
+    mag = mag * fmask
+    env_inv = istft_env_inv_masked(
+        frame_lengths, n_frames, n_fft, hop_length, win_length
+    )
+
+    def body(_, X):
+        x_t = istft_jax_masked(X, env_inv, n_fft, hop_length, win_length)
+        est = stft_jax_masked(x_t, frame_lengths, n_fft, hop_length, win_length)
+        phase = est / jnp.maximum(1e-8, jnp.abs(est))
+        return (mag * phase).astype(jnp.complex64)
+
+    X = jax.lax.fori_loop(0, n_iter, body, mag.astype(jnp.complex64))
+    return jnp.real(
+        istft_jax_masked(X, env_inv, n_fft, hop_length, win_length)
+    ).astype(jnp.float32)
+
+
+def griffin_lim_jax_masked(
+    mag: jnp.ndarray,
+    frame_lengths: jnp.ndarray,
+    cfg: SignalConfig = DEFAULT_SIGNAL,
+    n_iter: Optional[int] = None,
+) -> jnp.ndarray:
+    """Batched ragged Griffin-Lim (see _griffin_lim_core_masked)."""
+    n_iter = cfg.n_iter if n_iter is None else n_iter
+    return _griffin_lim_core_masked(
+        mag,
+        jnp.asarray(frame_lengths, jnp.int32),
+        cfg.n_fft,
+        cfg.hop_length,
+        cfg.win_length,
+        n_iter,
+    )
+
+
 def mel_to_mag_jax(mel_tm: jnp.ndarray, cfg: SignalConfig = DEFAULT_SIGNAL) -> jnp.ndarray:
     """Normalized mel (..., T, n_mels) -> magnitude (..., n_freq, T)."""
     mel = jnp.swapaxes(mel_tm, -1, -2)

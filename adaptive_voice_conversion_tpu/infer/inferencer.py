@@ -63,6 +63,7 @@ class Inferencer:
         self._jit_inference = jax.jit(
             lambda p, x, xc: ae_inference(p, self.config.model, x, xc)
         )
+        self._jit_inference_masked = None  # built lazily by convert_grid
         self._jit_vocode = {}  # (gl_method, gl_iters) -> jitted vocode fn
 
     # -- constructors -----------------------------------------------------
@@ -148,43 +149,68 @@ class Inferencer:
         src_mels: Sequence[np.ndarray],
         tar_mels: Sequence[np.ndarray],
         gl_iters: Optional[int] = None,
-        gl_method: str = "exact",
-    ) -> List[np.ndarray]:
+        gl_method: Optional[str] = None,
+        trim: bool = True,
+        return_mels: bool = False,
+    ):
         """All pairs (src_i, tar_j) in ONE padded batch through the model and
-        one batched TPU Griffin-Lim call. Returns wavs row-major (i * n_t + j).
+        one batched TPU Griffin-Lim call. Returns wavs row-major (i * n_t + j)
+        (or ``(wavs, mels)`` with the denormalized converted mels when
+        ``return_mels``, matching ``inference_one_utterance``'s second
+        return).
 
-        Padding: sources pad to the max source length (multiple of 8 for the
-        downsample chain); short targets are tiled cyclically (the speaker
-        encoder has no normalization and global-average-pools over time, so
-        tiling approximately preserves the embedding).
-
-        NOTE: when source lengths differ, zero padding enters the content
-        encoder's instance-norm statistics, so results differ slightly from
-        one-at-a-time conversion; group equal-length sources for exactness.
+        EXACT for mixed-length inputs: the model runs the length-masked
+        applies (models/masked.py — per-sample reflect-pad convs, masked
+        instance norm / global pool, reference IN semantics
+        model.py:296,305,311,315), and the default vocoder runs the masked
+        ragged Griffin-Lim (dsp/vocoder.py griffin_lim_jax_masked), so every
+        pair computes what the one-at-a-time ``inference_one_utterance``
+        chain computes at its true lengths: converted mels are pinned
+        allclose 1e-5 and wavs peak-relative (Griffin-Lim conditioning
+        bounds any cross-program comparison) in tests/test_masked.py.
+        gl_method="pallas" trades the vocoder exactness for the fused-kernel
+        speed (padded frames enter the kernel's iteration).
         """
-        from ..dsp.vocoder import griffin_lim_jax, mel_to_mag_jax
+        from ..dsp.vocoder import (
+            griffin_lim_jax,
+            griffin_lim_jax_masked,
+            mel_to_mag_jax,
+        )
         from ..dsp.audio import deemphasis_jax, trim_silence
+        from ..models.masked import ae_inference_masked
 
+        if gl_method is None:
+            gl_method = self.gl_method  # honor the constructor/CLI choice
         cfg = self.config.signal
         ns, nt = len(src_mels), len(tar_mels)
-        ts = max(m.shape[0] for m in src_mels)
-        ts = -(-ts // 8) * 8
-        tt = max(m.shape[0] for m in tar_mels)
+        src_lens = np.array([m.shape[0] for m in src_mels], np.int32)
+        tar_lens = np.array([m.shape[0] for m in tar_mels], np.int32)
+        # physical source frames: multiple of the content downsample product
+        # so the strided chain keeps integral physical shapes (per-sample
+        # valid lengths are handled by the masked ops)
+        sub = int(np.prod(self.config.model.content_encoder.subsample))
+        ts = -(-int(src_lens.max()) // sub) * sub
+        tt = int(tar_lens.max())
 
         def pad_to(m, t):
             return np.pad(m, ((0, t - m.shape[0]), (0, 0)))
 
-        def tile_to(m, t):
-            reps = -(-t // m.shape[0])
-            return np.tile(m, (reps, 1))[:t]
-
         src = np.stack([pad_to(m.astype(np.float32), ts) for m in src_mels])
-        tar = np.stack([tile_to(m.astype(np.float32), tt) for m in tar_mels])
+        tar = np.stack([pad_to(m.astype(np.float32), tt) for m in tar_mels])
         # cross product ON DEVICE: only the ns + nt unique mels cross the
         # host->device link (the repeated ns*nt batch is ~ns x larger and
         # the tunnel H2D is the serving path's scarcest resource)
         src_b = jnp.repeat(jnp.asarray(src), nt, axis=0)
         tar_b = jnp.tile(jnp.asarray(tar), (ns, 1, 1))
+        sl_b = jnp.repeat(jnp.asarray(src_lens), nt, axis=0)
+        tl_b = jnp.tile(jnp.asarray(tar_lens), (ns,))
+        if self._jit_inference_masked is None:
+            mcfg = self.config.model
+            self._jit_inference_masked = jax.jit(
+                lambda p, x, xl, xc, cl: ae_inference_masked(
+                    p, mcfg, x, xl, xc, cl
+                )
+            )
         # the whole post-model chain — denormalize, mel->linear, Griffin-
         # Lim, de-preemphasis — is ONE jitted program: dec never visits the
         # host, eager per-op dispatch (20-35 ms each through the tunnel)
@@ -198,21 +224,38 @@ class Inferencer:
             std = jnp.asarray(self.attr["std"], jnp.float32)
 
             @jax.jit
-            def vocode(dec):
+            def vocode(dec, dec_lens):
                 dec = dec * std + mean
                 mag = mel_to_mag_jax(dec, cfg)
-                w = griffin_lim_jax(mag, cfg, n_iter=gl_iters,
-                                    method=gl_method)
+                if gl_method == "pallas":
+                    w = griffin_lim_jax(mag, cfg, n_iter=gl_iters,
+                                        method=gl_method)
+                else:
+                    w = griffin_lim_jax_masked(
+                        mag, dec_lens, cfg, n_iter=gl_iters
+                    )
                 return deemphasis_jax(w, cfg.preemphasis)
 
             self._jit_vocode[vkey] = vocode
-        dec_dev = self._jit_inference(self.params, src_b, tar_b)
-        wavs = np.asarray(vocode(dec_dev))
+        dec_dev, dec_lens = self._jit_inference_masked(
+            self.params, src_b, sl_b, tar_b, tl_b
+        )
+        wavs = np.asarray(vocode(dec_dev, dec_lens))
         out = []
         for i in range(ns):
-            true_t = src_mels[i].shape[0]
+            true_t = int(src_lens[i])
             n_samp = cfg.hop_length * (true_t - 1)
             for j in range(nt):
-                w, _ = trim_silence(wavs[i * nt + j][:n_samp], top_db=60.0)
+                w = wavs[i * nt + j][:n_samp]
+                if trim:
+                    w, _ = trim_silence(w, top_db=60.0)
                 out.append(w.astype(np.float32))
-        return out
+        if not return_mels:
+            return out
+        dec_host = np.asarray(dec_dev)
+        dec_lens = np.asarray(dec_lens)
+        mels = [
+            self.denormalize(dec_host[k, : dec_lens[k]])
+            for k in range(ns * nt)
+        ]
+        return out, mels

@@ -93,6 +93,33 @@ def scale_by_torch_amsgrad(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _cast_nu_storage(
+    inner: optax.GradientTransformation, dtype
+) -> optax.GradientTransformation:
+    """Store the second moment of ``optax.scale_by_adam`` in ``dtype``.
+
+    scale_by_adam only exposes ``mu_dtype``; nu would stay f32, so the
+    'bf16 state halves Adam-state HBM traffic' property would silently not
+    hold on the non-amsgrad path (round-3 advisor finding). Mirror the
+    custom amsgrad transform's semantics: arithmetic in f32 (the stored
+    bf16 nu is upcast before the update), only the carried state rounded.
+    """
+
+    def _to(t, dt):
+        return jax.tree.map(lambda x: x.astype(dt), t)
+
+    def init_fn(params):
+        state = inner.init(params)
+        return state._replace(nu=_to(state.nu, dtype))
+
+    def update_fn(updates, state, params=None):
+        state = state._replace(nu=_to(state.nu, jnp.float32))
+        out, new_state = inner.update(updates, state, params)
+        return out, new_state._replace(nu=_to(new_state.nu, dtype))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     cfg: OptimizerConfig,
     sn: bool = False,
@@ -108,16 +135,23 @@ def make_optimizer(
     (one flat sum vs per-leaf partials), a <1 ulp-level difference — the
     torch-bit-exact parity mode keeps the default unflattened chain.
     Incompatible with sn=True (the masked-u chain needs tree structure)."""
+    if fused and sn:
+        raise ValueError(
+            "make_optimizer(fused=True, sn=True) is unsupported: "
+            "optax.flatten cannot carry the spectral-norm masked-u tree "
+            "structure — drop opt_fused or sn"
+        )
     sd = jnp.bfloat16 if state_dtype == "bfloat16" else None
-    inner = (
-        scale_by_torch_amsgrad(
+    if cfg.amsgrad:
+        inner = scale_by_torch_amsgrad(
             b1=cfg.beta1, b2=cfg.beta2, eps=1e-8, state_dtype=sd
         )
-        if cfg.amsgrad
-        else optax.scale_by_adam(
+    else:
+        inner = optax.scale_by_adam(
             b1=cfg.beta1, b2=cfg.beta2, eps=1e-8, mu_dtype=sd
         )
-    )
+        if sd is not None:
+            inner = _cast_nu_storage(inner, sd)
     chain = optax.chain(
         optax.clip_by_global_norm(cfg.grad_norm),
         optax.add_decayed_weights(cfg.weight_decay),
