@@ -20,6 +20,7 @@ from adaptive_voice_conversion_tpu.utils import (
 from test_e2e import TINY, data_dir, make_args  # fixtures/helpers
 
 
+@pytest.mark.slow
 def test_solver_evaluate(data_dir):
     from adaptive_voice_conversion_tpu.train.solver import Solver
 

@@ -67,6 +67,7 @@ def test_multi_step_trains_and_is_deterministic(artifacts):
     assert a[-1, 0] < a[0, 0]
 
 
+@pytest.mark.slow
 def test_multi_step_sharded_matches_unsharded(artifacts):
     pkl, idx, *_, seg = artifacts
     ds = SegmentDataset(pkl, idx, segment_size=seg)
@@ -90,6 +91,7 @@ def test_multi_step_sharded_matches_unsharded(artifacts):
     np.testing.assert_allclose(np.asarray(ms1), np.asarray(ms8), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_solver_auto_selects_device_mode(tmp_path, artifacts):
     import dataclasses
 

@@ -32,6 +32,7 @@ def test_mesh_shapes(mesh8):
     assert local_batch_size(128, mesh8) == 128  # single process owns all
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(mesh8):
     """Gradient reduction over the data axis must reproduce the single-device
     step exactly (psum of per-shard grads == full-batch grads)."""
@@ -89,6 +90,7 @@ def test_mesh_2d_tensor_axis():
     assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
 
 
+@pytest.mark.slow
 def test_tp_step_matches_single_device():
     """dp4 x tp2: channel-sharded params + batch sharding must reproduce the
     single-device training step (grad psum over 'data', channel-contraction

@@ -85,6 +85,7 @@ def test_solver_trains_and_loss_decreases(data_dir):
     assert (data_dir / "model.config.yaml").exists()
 
 
+@pytest.mark.slow
 def test_solver_checkpoint_resume_is_deterministic(data_dir):
     a1 = make_args(data_dir, tag="a")
     s1 = Solver(TINY, a1)

@@ -23,6 +23,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # real 2-process jax.distributed suites (>40 s each)
+
 from test_train import TINY
 
 HERE = os.path.dirname(os.path.abspath(__file__))

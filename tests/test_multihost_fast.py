@@ -21,6 +21,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # real 2-process jax.distributed suites (>40 s each)
+
 from multihost_fast_worker import param_checksum, solver_config
 
 HERE = os.path.dirname(os.path.abspath(__file__))

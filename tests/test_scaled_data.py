@@ -188,6 +188,7 @@ def test_chunk_visits_proportional_to_segments(dataset):
     assert np.abs(frac - want).max() < 0.2
 
 
+@pytest.mark.slow
 def test_solver_chunked_trains_and_resumes(tmp_path):
     """End-to-end chunked training + bitwise-deterministic resume."""
     from adaptive_voice_conversion_tpu.train.solver import Solver, SolverArgs
@@ -275,6 +276,7 @@ def test_solver_auto_picks_chunked_when_over_budget(tmp_path):
     assert s.data_mode == "chunked"
 
 
+@pytest.mark.slow
 def test_solver_device_sharded_end_to_end(tmp_path, mesh8):
     """Solver with the dataset sharded over the 8-device data axis."""
     from adaptive_voice_conversion_tpu.train.solver import Solver, SolverArgs

@@ -170,6 +170,7 @@ def test_bfloat16_compute_path():
     assert jax.tree_util.tree_leaves(p)[0].dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_bf16_optimizer_state_tracks_f32():
     """opt_state_dtype='bfloat16' stores Adam moments in bf16 (halved HBM
     traffic) with f32 update math and f32 master params; the short-horizon
