@@ -99,31 +99,25 @@ def griffin_lim_jax(
     ``method``:
       "exact"  (default) the fori_loop over XLA FFTs — exact librosa-
                convention iterations, the quality-first production path.
-      "pallas" the fused VMEM-resident iteration kernel
-               (kernels/griffin_lim.py): measured 4.26x faster on a v5e
-               (11.1 vs 47.3 ms for a batch of 8 seg-128 mags at 100
-               iters, KERNELS_r03.json) at a quantified quality cost
-               (spectral convergence 0.117 vs 0.083 direct, 0.139 vs
-               0.089 through the mel pseudo-inverse) from its bf16 MXU
-               passes + interior-band edge approximation. Opt in for
-               throughput-critical serving grids.
+      "pallas" the fused VMEM-resident iteration kernel with the hybrid
+               warm-start/reflect-extend/polish schedule
+               (kernels/griffin_lim.py): measured on a v5e at 100 iters,
+               spectral convergence 0.0794 vs the exact path's 0.0831
+               (BETTER) at 3.37x for a batch of 8 seg-128 mags, and
+               0.0594 vs 0.0558 (+0.0036) at 3.04x for a 768-frame
+               utterance (KERNELS_r04.json). Any length is supported —
+               long inputs run as overlapping kernel windows whose seams
+               the shared warm start removes. The fast serving mode, no
+               quality asterisk.
     """
     n_iter = cfg.n_iter if n_iter is None else n_iter
     if method == "pallas":
-        from ..kernels.griffin_lim import MAX_KERNEL_FRAMES, griffin_lim_pallas
+        from ..kernels.griffin_lim import griffin_lim_pallas
 
-        if mag.shape[-1] <= MAX_KERNEL_FRAMES:
-            return griffin_lim_pallas(mag, cfg, n_iter=n_iter)
-        # the kernel keeps all state + DFT matrices VMEM-resident, which
-        # bounds the frame count; longer utterances take the exact path
-        import warnings
-
-        warnings.warn(
-            f"griffin_lim method='pallas' supports <= {MAX_KERNEL_FRAMES} "
-            f"frames (VMEM residency); got {mag.shape[-1]} — using the "
-            "exact XLA path",
-            stacklevel=2,
-        )
+        # no length cap: utterances beyond the kernel's VMEM frame window
+        # are segmented with overlap inside griffin_lim_pallas and the
+        # hybrid exact-polish iterations heal seams and edges
+        return griffin_lim_pallas(mag, cfg, n_iter=n_iter)
     return _griffin_lim_core(mag, cfg.n_fft, cfg.hop_length, cfg.win_length, n_iter)
 
 

@@ -38,8 +38,12 @@ def featurize_paths(
     """path -> mel (T, n_mels) for every wav, keyed by basename.
 
     ``use_kernel`` selects the fused Pallas STFT-mel kernel for the TPU
-    path (kernels/stft_mel.py); defaults to on when the backend is a real
-    TPU — measured 1.12x over the XLA-rfft path (KERNELS_r02.json)."""
+    path (kernels/stft_mel.py); defaults to OFF (round-4 re-qualification:
+    with median-of-7 compute-only timing the XLA-rfft path is FASTER —
+    frames-level 3.54 vs 3.82 ms, end-to-end 3.61 vs 3.84 ms for 60 s of
+    audio; the round-2 "1.12x kernel win" was an artifact of timing the
+    full result fetch through the variable-rate axon tunnel, see
+    KERNELS_r04.json). The kernel stays available for A/B measurement."""
     out: Dict[str, np.ndarray] = {}
     if not use_tpu:
         for i, path in enumerate(paths):
@@ -56,7 +60,7 @@ def featurize_paths(
     import jax.numpy as jnp
 
     if use_kernel is None:
-        use_kernel = jax.default_backend() == "tpu"
+        use_kernel = False  # XLA-rfft path wins on clean medians (r04)
     if use_kernel:
         from ..kernels.stft_mel import mel_from_wave_pallas_batch
 

@@ -1,17 +1,30 @@
-"""Kernel benchmark: Pallas fused STFT-mel vs the XLA rfft featurizer.
+"""Kernel benchmark: Pallas fused STFT-mel + fused Griffin-Lim vs XLA.
 
-Runs BOTH implementations compiled on the current backend (the real chip
+Runs the implementations compiled on the current backend (the real chip
 under axon; CPU if no TPU) over identical inputs, verifies they agree,
-and prints one JSON line with throughputs + speedup. The driver-style
-artifact is also written to KERNELS_r02.json when --out is given.
+and prints one JSON line. Driver-style artifact written with --out.
 
-Two measurements:
-  1. frames-level: stft_mel_pallas vs the equivalent XLA ops on
+All timings are MEDIAN-of-N trials with IQR (round-3 verdict item 3: the
+single-shot numbers of earlier rounds were tunnel-weather-dominated — the
+axon host reaches the chip through a network tunnel whose latency varies
+22-400 MB/s hour to hour, so each measurement below repeats TRIALS
+timed blocks and reports median + IQR, and the kernel-vs-XLA defaults are
+decided on the medians).
+
+Measurements:
+  1. frames-level STFT-mel: stft_mel_pallas vs equivalent XLA ops on
      pre-framed input — isolates the fused kernel from framing/padding.
-  2. end-to-end: mel_from_wave_pallas vs mel_from_wave_jax on a raw wave
+  2. end-to-end wave->mel: mel_from_wave_pallas vs mel_from_wave_jax
      (what tools/etl.py --tpu actually calls).
+  3. Griffin-Lim: the fused VMEM-resident iteration kernel
+     (kernels/griffin_lim.py) raw and at its production hybrid defaults
+     (warm-start 4 + reflect-ext 6 + end-polish 2) vs the exact XLA-FFT
+     fori_loop, with spectral convergence measured both directly and
+     through the mel pseudo-inverse chain, plus a long-utterance
+     (segmented-kernel, no length cap) section.
 
-Reference chain being computed: preprocess/tacotron/utils.py:62-80.
+Reference chain being computed: preprocess/tacotron/utils.py:62-80 (mel),
+:136-155 (Griffin-Lim).
 """
 
 from __future__ import annotations
@@ -24,26 +37,56 @@ import time
 import numpy as np
 
 WARMUP = 3
-ITERS = 20
+ITERS = 10
+TRIALS = 7
 
 
 def _note(msg: str) -> None:
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def _time(fn, *args) -> float:
+def _sync_scalar(out):
+    """Force completion by fetching ONE element, not the whole result.
+
+    Fetching the full output through the axon tunnel (22-400 MB/s,
+    hour-dependent) would dominate the timed region — a 9.4 MB mel fetch
+    is 25-400 ms of pure transfer, which is what polluted the round-3
+    kernel numbers (KERNELS_r03 lost ~35% absolute vs round 2 on BOTH
+    paths). A scalar element forces the same device-side completion for
+    4 bytes on the wire; the one-off full-fetch cost is reported
+    separately as ``d2h_fetch_ms``.
+    """
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def _time(fn, *args) -> dict:
+    """Median-of-TRIALS timing: each trial times ITERS dispatches."""
     for _ in range(WARMUP):
         out = fn(*args)
-    jax.block_until_ready(out)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])  # host fetch (axon-safe)
+    _sync_scalar(out)
+    samples = []
+    for _ in range(TRIALS):
+        t0 = time.time()
+        for _ in range(ITERS):
+            out = fn(*args)
+        _sync_scalar(out)
+        samples.append((time.time() - t0) / ITERS)
+    s = np.sort(np.array(samples))
+    q1, med, q3 = np.percentile(s, [25, 50, 75])
+    # one-off: what a FULL result fetch costs through the tunnel right now
+    import jax
+
     t0 = time.time()
-    for _ in range(ITERS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
-    return (time.time() - t0) / ITERS
+    np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
+    fetch = time.time() - t0
+    return {
+        "ms": float(med * 1e3),
+        "iqr_ms": float((q3 - q1) * 1e3),
+        "d2h_fetch_ms": float(fetch * 1e3),
+    }
 
 
 def main() -> None:
@@ -103,10 +146,10 @@ def main() -> None:
     frames_max_abs = float(np.max(np.abs(mel_p - mel_x)))
     _note(f"frames-level max_abs_diff={frames_max_abs:.2e}; timing...")
 
-    dt_pallas_frames = _time(pallas_frames, frames)
-    _note(f"pallas frames {dt_pallas_frames*1e3:.2f} ms")
-    dt_xla_frames = _time(xla_frames, frames)
-    _note(f"xla frames {dt_xla_frames*1e3:.2f} ms")
+    tp_frames = _time(pallas_frames, frames)
+    _note(f"pallas frames {tp_frames}")
+    tx_frames = _time(xla_frames, frames)
+    _note(f"xla frames {tx_frames}")
 
     # ---- end-to-end wave->mel (the tools/etl.py --tpu call) ----
     e2e_pallas = jax.jit(
@@ -120,15 +163,17 @@ def main() -> None:
     e2e_max_abs = float(np.max(np.abs(mel_pe - mel_xe)))
     _note(f"e2e max_abs_diff={e2e_max_abs:.2e}; timing...")
 
-    dt_pallas_e2e = _time(e2e_pallas, wave)
-    _note(f"pallas e2e {dt_pallas_e2e*1e3:.2f} ms")
-    dt_xla_e2e = _time(e2e_xla, wave)
-    _note(f"xla e2e {dt_xla_e2e*1e3:.2f} ms")
+    tp_e2e = _time(e2e_pallas, wave)
+    _note(f"pallas e2e {tp_e2e}")
+    tx_e2e = _time(e2e_xla, wave)
+    _note(f"xla e2e {tx_e2e}")
 
     # ---- Griffin-Lim: fused Pallas iteration kernel vs XLA-FFT fori_loop ----
-    # (round-2 verdict item 4: measure the deferred kernel, either way)
     from adaptive_voice_conversion_tpu.dsp.stft import stft_np
-    from adaptive_voice_conversion_tpu.dsp.vocoder import griffin_lim_jax
+    from adaptive_voice_conversion_tpu.dsp.vocoder import (
+        griffin_lim_jax,
+        mel_to_mag,
+    )
     from adaptive_voice_conversion_tpu.kernels.griffin_lim import (
         griffin_lim_pallas,
     )
@@ -143,75 +188,135 @@ def main() -> None:
         stft_np(sig, cfg.n_fft, cfg.hop_length, cfg.win_length)
     ).astype(np.float32)[:, :gl_t]
     mags = jnp.asarray(np.stack([mag1 * (1.0 + 0.01 * i) for i in range(gl_b)]))
+    # mel-pinv chain input: featurize -> normalized mel -> pseudo-inverse
+    # magnitude (what serving actually vocodes)
+    mel_n = (
+        20.0 * np.log10(np.maximum(1e-5, mel_filterbank(
+            cfg.sr, cfg.n_fft, cfg.n_mels) @ mag1))
+    )
+    mel_n = np.clip(
+        (mel_n - cfg.ref_db + cfg.max_db) / cfg.max_db, 1e-8, 1.0
+    ).T.astype(np.float32)  # (T, n_mels) normalized
+    mag_pinv = mel_to_mag(mel_n, cfg).astype(np.float32)[:, :gl_t]
+    mags_pinv = jnp.asarray(np.stack([mag_pinv] * gl_b))
 
-    def _sc(wav_row):
+    def _sc(wav_row, ref):
         est = np.abs(
             stft_np(np.asarray(wav_row), cfg.n_fft, cfg.hop_length,
                     cfg.win_length)
         )
-        f = min(est.shape[1], mag1.shape[1])
+        f = min(est.shape[1], ref.shape[1])
         return float(
-            np.linalg.norm(est[:, :f] - mag1[:, :f]) / np.linalg.norm(mag1[:, :f])
+            np.linalg.norm(est[:, :f] - ref[:, :f]) / np.linalg.norm(ref[:, :f])
         )
 
     gl_xla = jax.jit(lambda m: griffin_lim_jax(m, cfg, n_iter=cfg.n_iter))
-    gl_pal = jax.jit(
+    gl_variants = {
+        # raw fused kernel, no hybrid schedule (the floor)
+        "pallas_raw": jax.jit(
+            lambda m: griffin_lim_pallas(
+                m, cfg, n_iter=cfg.n_iter, interpret=interpret,
+                polish_iters=0, warm_start=0, ext_frames=0,
+            )
+        ),
+        # production defaults: warm 4 + reflect-ext 6 + end-polish 2
+        "pallas_default": jax.jit(
+            lambda m: griffin_lim_pallas(m, cfg, n_iter=cfg.n_iter,
+                                         interpret=interpret)
+        ),
+    }
+    _note("compiling griffin-lim xla...")
+    w_x = np.asarray(gl_xla(mags))
+    w_x_pinv = np.asarray(gl_xla(mags_pinv))
+    gl = {
+        "batch": gl_b,
+        "frames": gl_t,
+        "n_iter": cfg.n_iter,
+        "xla": {
+            "sc_direct": round(_sc(w_x[0], mag1), 4),
+            "sc_mel_pinv": round(_sc(w_x_pinv[0], mag1), 4),
+        },
+    }
+    if not interpret:
+        gl["xla"].update(_time(gl_xla, mags))
+        _note(f"griffin-lim xla {gl['xla']}")
+    for name, fn in gl_variants.items():
+        _note(f"compiling griffin-lim {name}...")
+        w_p = np.asarray(fn(mags))
+        w_p_pinv = np.asarray(fn(mags_pinv))
+        ent = {
+            "sc_direct": round(_sc(w_p[0], mag1), 4),
+            "sc_mel_pinv": round(_sc(w_p_pinv[0], mag1), 4),
+        }
+        if not interpret:
+            ent.update(_time(fn, mags))
+            ent["speedup_vs_xla"] = round(gl["xla"]["ms"] / ent["ms"], 3)
+        gl[name] = ent
+        _note(f"griffin-lim {name} {ent}")
+
+    # ---- long-utterance GL: segmented kernel (no frame cap) ----
+    long_t = 768  # 9.6 s at hop 300 / 24 kHz — 2x the VMEM frame window
+    sig_l = np.concatenate([sig] * 7)[: cfg.hop_length * (long_t - 1) + cfg.n_fft]
+    mag_l1 = np.abs(
+        stft_np(sig_l, cfg.n_fft, cfg.hop_length, cfg.win_length)
+    ).astype(np.float32)[:, :long_t]
+    mags_l = jnp.asarray(mag_l1[None])
+    gl_long_xla = jax.jit(lambda m: griffin_lim_jax(m, cfg, n_iter=cfg.n_iter))
+    gl_long_pal = jax.jit(
         lambda m: griffin_lim_pallas(m, cfg, n_iter=cfg.n_iter,
                                      interpret=interpret)
     )
-    _note("compiling griffin-lim xla...")
-    w_x = np.asarray(gl_xla(mags))
-    _note("compiling griffin-lim pallas...")
-    w_p = np.asarray(gl_pal(mags))
-    sc_x, sc_p = _sc(w_x[0]), _sc(w_p[0])
-    _note(f"GL quality (SC, lower=better): xla={sc_x:.4f} pallas={sc_p:.4f}")
-    if interpret:
-        # interpret-mode timing is meaningless; record quality only
-        dt_gl_xla = dt_gl_pal = float("nan")
-    else:
-        dt_gl_xla = _time(gl_xla, mags)
-        _note(f"griffin-lim xla {dt_gl_xla*1e3:.2f} ms / batch of {gl_b}")
-        dt_gl_pal = _time(gl_pal, mags)
-        _note(f"griffin-lim pallas {dt_gl_pal*1e3:.2f} ms / batch of {gl_b}")
+    _note("compiling long-utterance griffin-lim (xla + segmented pallas)...")
+    wl_x = np.asarray(gl_long_xla(mags_l))
+    wl_p = np.asarray(gl_long_pal(mags_l))
+    gl_long = {
+        "frames": long_t,
+        "xla_sc": round(_sc(wl_x[0], mag_l1), 4),
+        "pallas_default_sc": round(_sc(wl_p[0], mag_l1), 4),
+    }
+    if not interpret:
+        tl_x = _time(gl_long_xla, mags_l)
+        tl_p = _time(gl_long_pal, mags_l)
+        gl_long["xla_ms"] = tl_x["ms"]
+        gl_long["xla_iqr_ms"] = tl_x["iqr_ms"]
+        gl_long["pallas_default_ms"] = tl_p["ms"]
+        gl_long["pallas_default_iqr_ms"] = tl_p["iqr_ms"]
+        gl_long["speedup_vs_xla"] = round(tl_x["ms"] / tl_p["ms"], 3)
+    _note(f"griffin-lim long {gl_long}")
 
     audio_s = n_samples / cfg.sr
     out = {
         "metric": "stft_mel_kernel_audio_s_per_s",
-        "value": round(audio_s / dt_pallas_e2e, 1),
+        "value": round(audio_s / (tp_e2e["ms"] / 1e3), 1),
         "unit": "audio-s/s",
         "backend": backend,
         "interpret": interpret,
         "device": str(jax.devices()[0]),
         "wave_audio_s": audio_s,
         "n_frames": int(t),
+        "timing": f"median of {TRIALS} trials x {ITERS} iters, IQR reported",
         "frames_level": {
-            "pallas_ms": round(dt_pallas_frames * 1e3, 3),
-            "xla_rfft_ms": round(dt_xla_frames * 1e3, 3),
+            "pallas_ms": round(tp_frames["ms"], 3),
+            "pallas_iqr_ms": round(tp_frames["iqr_ms"], 3),
+            "xla_rfft_ms": round(tx_frames["ms"], 3),
+            "xla_rfft_iqr_ms": round(tx_frames["iqr_ms"], 3),
             "speedup_pallas_over_xla": round(
-                dt_xla_frames / dt_pallas_frames, 3
+                tx_frames["ms"] / tp_frames["ms"], 3
             ),
             "max_abs_diff": frames_max_abs,
         },
         "end_to_end": {
-            "pallas_ms": round(dt_pallas_e2e * 1e3, 3),
-            "xla_rfft_ms": round(dt_xla_e2e * 1e3, 3),
-            "speedup_pallas_over_xla": round(dt_xla_e2e / dt_pallas_e2e, 3),
-            "pallas_audio_s_per_s": round(audio_s / dt_pallas_e2e, 1),
-            "xla_audio_s_per_s": round(audio_s / dt_xla_e2e, 1),
+            "pallas_ms": round(tp_e2e["ms"], 3),
+            "pallas_iqr_ms": round(tp_e2e["iqr_ms"], 3),
+            "xla_rfft_ms": round(tx_e2e["ms"], 3),
+            "xla_rfft_iqr_ms": round(tx_e2e["iqr_ms"], 3),
+            "speedup_pallas_over_xla": round(tx_e2e["ms"] / tp_e2e["ms"], 3),
+            "pallas_audio_s_per_s": round(audio_s / (tp_e2e["ms"] / 1e3), 1),
+            "xla_audio_s_per_s": round(audio_s / (tx_e2e["ms"] / 1e3), 1),
             "max_abs_diff": e2e_max_abs,
         },
-        "griffin_lim": {
-            "batch": gl_b,
-            "frames": gl_t,
-            "n_iter": cfg.n_iter,
-            "pallas_ms": round(dt_gl_pal * 1e3, 2),
-            "xla_fft_ms": round(dt_gl_xla * 1e3, 2),
-            "speedup_pallas_over_xla": round(dt_gl_xla / dt_gl_pal, 3)
-            if dt_gl_pal == dt_gl_pal and dt_gl_pal > 0
-            else None,
-            "spectral_convergence_xla": round(sc_x, 4),
-            "spectral_convergence_pallas": round(sc_p, 4),
-        },
+        "griffin_lim": gl,
+        "griffin_lim_long": gl_long,
     }
     print(json.dumps(out))
     if args.out:
