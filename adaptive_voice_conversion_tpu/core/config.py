@@ -149,7 +149,9 @@ class TrainConfig:
     opt_state_dtype: str = "float32"
     # fused (flattened) optimizer: one raveled update instead of ~85
     # per-leaf ops; elementwise-identical math (train/optim.py docstring)
-    opt_fused: bool = False
+    # False | True (optax.flatten) | "bucketed<K>" (train/optim.py
+    # bucketed_flatten: K size-balanced flat buckets)
+    opt_fused: object = False
 
 
 def _filter_kwargs(cls, d: dict) -> dict:
@@ -198,7 +200,7 @@ def config_from_dict(raw: dict) -> TrainConfig:
         chunk_repeats=int(raw.get("chunk_repeats", 1)),
         inner_steps=int(raw.get("inner_steps", 10)),
         opt_state_dtype=str(raw.get("opt_state_dtype", "float32")),
-        opt_fused=bool(raw.get("opt_fused", False)),
+        opt_fused=raw.get("opt_fused", False),
     )
 
 

@@ -19,6 +19,7 @@ from typing import NamedTuple
 import chex
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..core.config import OptimizerConfig
@@ -120,20 +121,104 @@ def _cast_nu_storage(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def bucketed_flatten(
+    inner: optax.GradientTransformation, n_buckets: int = 4
+) -> optax.GradientTransformation:
+    """Run ``inner`` on ``n_buckets`` flat same-dtype vectors instead of the
+    ~85-leaf param tree.
+
+    Middle ground between the per-leaf chain (round-3 trace: optax
+    ``apply_updates`` exploded into 166 small fusions, 0.34 ms of the
+    4.75 ms step) and ``optax.flatten`` (measured negative: ONE 9M-element
+    ravel + per-leaf unravel slices was slower than the per-leaf chain).
+    Leaves are greedily packed into size-balanced buckets (largest first),
+    so the optimizer runs as a handful of ~2M-element fused elementwise
+    ops. Elementwise math is identical; only the global-norm reduction
+    order changes (K flat partials vs per-leaf partials).
+
+    RECORDED NEGATIVE RESULT (round-4 verdict item 4, measured on the
+    production device-resident multi-step, v5e, batch 128 seg 128 bf16,
+    median of 5 x 120 steps): per-leaf chain 4.95 ms/step, bucketed8
+    5.07, bucketed4 5.16, optax.flatten 5.25. The pack/unpack concats and
+    slices move ~2 extra param-tree copies of HBM traffic per step —
+    about what the 166 small fusions cost — and XLA overlaps the small
+    per-leaf fusions with surrounding work better than the trace's
+    isolated attribution suggested. The default stays the per-leaf chain;
+    the knob remains for other model scales.
+
+    Works for chains whose transforms treat params/updates elementwise +
+    global reductions (true of clip_by_global_norm -> add_decayed_weights
+    -> adam variants); NOT for the sn=True masked chain (needs tree
+    structure), mirroring optax.flatten's constraint.
+    """
+
+    def _plan(tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        k = min(n_buckets, len(leaves))  # never an empty bucket
+        order = sorted(
+            range(len(leaves)), key=lambda i: -int(leaves[i].size)
+        )
+        fill = [0] * k
+        assign = [0] * len(leaves)
+        for i in order:  # greedy size balancing
+            b = min(range(k), key=lambda j: fill[j])
+            assign[i] = b
+            fill[b] += int(leaves[i].size)
+        return leaves, treedef, assign, k
+
+    def _pack(tree):
+        leaves, treedef, assign, k = _plan(tree)
+        buckets = [
+            jnp.concatenate(
+                [leaves[i].ravel() for i in range(len(leaves)) if assign[i] == b]
+            )
+            for b in range(k)
+        ]
+        return buckets, (treedef, assign, [l.shape for l in leaves], k)
+
+    def _unpack(buckets, spec, like_leaves):
+        treedef, assign, shapes, k = spec
+        out = [None] * len(shapes)
+        offs = [0] * k
+        for i, shape in enumerate(shapes):
+            b = assign[i]
+            n = int(np.prod(shape)) if shape else 1
+            out[i] = jax.lax.dynamic_slice_in_dim(
+                buckets[b], offs[b], n
+            ).reshape(shape)
+            offs[b] += n
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def init_fn(params):
+        buckets, _ = _pack(params)
+        return inner.init(buckets)
+
+    def update_fn(updates, state, params=None):
+        u_buckets, spec = _pack(updates)
+        p_buckets = _pack(params)[0] if params is not None else None
+        out_buckets, state = inner.update(u_buckets, state, p_buckets)
+        return _unpack(out_buckets, spec, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     cfg: OptimizerConfig,
     sn: bool = False,
     state_dtype: str = "float32",
-    fused: bool = False,
+    fused=False,
 ) -> optax.GradientTransformation:
     """``fused=True`` wraps the chain in ``optax.flatten``: the whole update
     runs on ONE raveled parameter vector instead of ~85 leaves. The round-3
     profiler trace showed apply_updates alone exploding into 166 small
     fusions costing 0.34 ms of the 4.75 ms step; flattening turns the
-    optimizer into a handful of 9M-element elementwise ops. Element-wise
-    math is identical; only the global-norm reduction order changes
-    (one flat sum vs per-leaf partials), a <1 ulp-level difference — the
-    torch-bit-exact parity mode keeps the default unflattened chain.
+    optimizer into a handful of 9M-element elementwise ops.
+    ``fused="bucketed"`` (or ``"bucketed<K>"``, e.g. "bucketed8") instead
+    flattens into K size-balanced flat buckets (bucketed_flatten) — the
+    round-3-verdict-item-4 middle ground. Element-wise math is identical
+    either way; only the global-norm reduction order changes (flat sums vs
+    per-leaf partials), a <1 ulp-level difference — the torch-bit-exact
+    parity mode keeps the default unflattened chain.
     Incompatible with sn=True (the masked-u chain needs tree structure)."""
     if fused and sn:
         raise ValueError(
@@ -159,7 +244,14 @@ def make_optimizer(
         optax.scale(-cfg.lr),
     )
     if not sn:
-        return optax.flatten(chain) if fused else chain
+        if not fused:
+            return chain
+        if fused is True:
+            return optax.flatten(chain)
+        if isinstance(fused, str) and fused.startswith("bucketed"):
+            k = int(fused[len("bucketed"):] or 4)
+            return bucketed_flatten(chain, n_buckets=k)
+        raise ValueError(f"unknown fused mode {fused!r}")
     # sn=True: the param tree carries spectral-norm power-iteration buffers
     # `u` (like torch's weight_u). Their grads are exactly zero (the
     # iterates are detached), so clipping is unaffected — but weight decay

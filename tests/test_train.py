@@ -197,3 +197,48 @@ def test_bf16_optimizer_state_tracks_f32():
     b = np.concatenate([np.ravel(l) for l in jax.tree_util.tree_leaves(p16)])
     np.testing.assert_allclose(a, b, atol=5e-4)
     assert abs(float(m32["loss"]) - float(m16["loss"])) < 1e-2
+
+
+def test_fused_optimizer_modes_match_per_leaf_chain():
+    """optax.flatten and bucketed_flatten (both recorded perf negatives,
+    train/optim.py) must stay numerically equivalent to the per-leaf
+    chain: same updates up to flat-vs-per-leaf reduction-order noise."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from adaptive_voice_conversion_tpu.core.config import OptimizerConfig
+    from adaptive_voice_conversion_tpu.train.optim import make_optimizer
+
+    cfg = OptimizerConfig()
+    rng = np.random.default_rng(0)
+    params = {
+        "a": {"w": jnp.asarray(rng.standard_normal((7, 5)).astype(np.float32)),
+              "b": jnp.asarray(rng.standard_normal(5).astype(np.float32))},
+        "c": [jnp.asarray(rng.standard_normal((3, 3)).astype(np.float32)),
+              jnp.asarray(rng.standard_normal((11,)).astype(np.float32))],
+    }
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(
+            rng.standard_normal(p.shape).astype(np.float32)
+        ),
+        params,
+    )
+    ref_opt = make_optimizer(cfg)
+    ref_state = ref_opt.init(params)
+    ref_u, _ = ref_opt.update(grads, ref_state, params)
+    for mode in (True, "bucketed", "bucketed2", "bucketed8"):
+        opt = make_optimizer(cfg, fused=mode)
+        state = opt.init(params)
+        u, state2 = opt.update(grads, state, params)
+        assert jax.tree_util.tree_structure(u) == jax.tree_util.tree_structure(ref_u)
+        for ru, mu in zip(jax.tree.leaves(ref_u), jax.tree.leaves(u)):
+            np.testing.assert_allclose(
+                np.asarray(mu), np.asarray(ru), rtol=1e-5, atol=1e-7
+            )
+    # unknown mode rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_optimizer(cfg, fused="nope")
