@@ -261,8 +261,22 @@ def main() -> None:
         _note(f"chunked section (repeats={repeats}) done: {steps_done} steps")
         return dt
 
-    chunked_dt = run_chunked(1, 60 if smoke else 1400)
-    chunked2_dt = run_chunked(2, 60 if smoke else 1400)
+    # INTERLEAVED median-of-3 per repeats mode (round-3 verdict item 5):
+    # a visit is ~260 steps at repeats=1, so a 1400-step single shot sees
+    # only ~5 chunk transfers — one slow tunnel window (22-400 MB/s hour
+    # to hour) can invert the comparison. repeats=2 needs HALF the H2D
+    # bandwidth by construction (each resident chunk trains 2x the steps),
+    # so it can only lose to repeats=1 through measurement noise;
+    # interleaving r1/r2 trials exposes both modes to the same tunnel
+    # weather and the medians decide. BENCH_r03's repeats2=0.856x <
+    # repeats1=0.968x was exactly this artifact.
+    trial_steps = 60 if smoke else 500
+    r1_trials, r2_trials = [], []
+    for _ in range(1 if smoke else 3):
+        r1_trials.append(run_chunked(1, trial_steps))
+        r2_trials.append(run_chunked(2, trial_steps))
+    chunked_dt = float(np.median(r1_trials))
+    chunked2_dt = float(np.median(r2_trials))
     del big_packed
     chunked_value = audio_s_per_batch / chunked_dt
     chunked2_value = audio_s_per_batch / chunked2_dt
@@ -301,6 +315,11 @@ def main() -> None:
         "chunked_vs_headline": round(chunked_value / value, 3),
         "chunked_repeats2_audio_s_per_s": round(chunked2_value, 1),
         "chunked_repeats2_vs_headline": round(chunked2_value / value, 3),
+        "chunked_timing": "interleaved r1/r2 trials, median per mode",
+        "chunked_trial_step_ms": {
+            "repeats1": [round(t * 1e3, 2) for t in r1_trials],
+            "repeats2": [round(t * 1e3, 2) for t in r2_trials],
+        },
         "host_stream_audio_s_per_s": round(audio_s_per_batch / host_dt, 1),
         "step_ms_device_resident": round(device_dt * 1000, 2),
         "step_ms_chunked": round(chunked_dt * 1000, 2),
