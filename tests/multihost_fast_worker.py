@@ -110,6 +110,11 @@ def main() -> None:
             flush=True,
         )
     print(f"PSUM {param_checksum(solver.params)!r}", flush=True)
+    if mode == "chunked":
+        # per-process H2D sharding (data/chunked.py put_chunk): each host
+        # must have shipped only its 1/nproc row-slice of the chunk
+        st = solver.chunked
+        print(f"H2D_ROWS {st.last_h2d_rows} {st.R}", flush=True)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,11 @@ def _run_pair(mode: str, artifacts: str, run_dir: str) -> list:
                 out["loss"] = [float(v) for v in line.split()[1:]]
             elif line.startswith("PSUM "):
                 out["psum"] = float(line.split()[1])
+            elif line.startswith("H2D_ROWS "):
+                out["h2d_rows"], out["chunk_rows"] = (
+                    int(line.split()[1]),
+                    int(line.split()[2]),
+                )
         outs.append(out)
     return outs
 
@@ -122,6 +127,11 @@ def test_two_process_fast_path_matches_single_process(
     # both processes observe the identical (replicated) trajectory
     np.testing.assert_allclose(outs[0]["loss"], outs[1]["loss"], rtol=0, atol=0)
     assert outs[0]["psum"] == outs[1]["psum"]
+
+    if mode == "chunked":
+        # H2D sharding: each process transferred exactly half the chunk
+        for o in outs:
+            assert o["h2d_rows"] * 2 == o["chunk_rows"], o
 
     solver, m = _single_process_run(mode, artifacts, str(tmp_path))
     assert solver.data_mode == expect
