@@ -270,6 +270,20 @@ def main() -> None:
     # interleaving r1/r2 trials exposes both modes to the same tunnel
     # weather and the medians decide. BENCH_r03's repeats2=0.856x <
     # repeats1=0.968x was exactly this artifact.
+    # one synchronous 64 MB H2D probe: the transfer-bound criterion is
+    # BW_need = 26/repeats MB/s (data/chunked.py derivation) — when the
+    # tunnel probe lands below that, the repeats=1 stream is EXPECTED to
+    # stall on chunk transfers and the artifact should be read as
+    # transfer-bound, not as a regression of the streaming design.
+    probe_bytes = min(64 << 20, big_packed.nbytes)
+    probe_rows = probe_bytes // (n_mels * 2)
+    t0 = time.time()
+    jax.block_until_ready(
+        jax.device_put(big_packed[:probe_rows].view(np.uint16))
+    )
+    h2d_mb_s = probe_bytes / (time.time() - t0) / 1e6
+    _note(f"H2D tunnel probe: {h2d_mb_s:.1f} MB/s")
+
     trial_steps = 60 if smoke else 500
     r1_trials, r2_trials = [], []
     for _ in range(1 if smoke else 3):
@@ -320,6 +334,8 @@ def main() -> None:
             "repeats1": [round(t * 1e3, 2) for t in r1_trials],
             "repeats2": [round(t * 1e3, 2) for t in r2_trials],
         },
+        "h2d_tunnel_mb_per_s": round(h2d_mb_s, 1),
+        "chunked_bw_need_mb_per_s": {"repeats1": 26, "repeats2": 13},
         "host_stream_audio_s_per_s": round(audio_s_per_batch / host_dt, 1),
         "step_ms_device_resident": round(device_dt * 1000, 2),
         "step_ms_chunked": round(chunked_dt * 1000, 2),
