@@ -164,17 +164,94 @@ def _griffin_lim_core_masked(
     ).astype(jnp.float32)
 
 
+@partial(
+    jax.jit, static_argnames=("cfg", "n_iter", "warm_start", "polish_iters")
+)
+def _griffin_lim_core_masked_fast(
+    mag: jnp.ndarray,
+    frame_lengths: jnp.ndarray,
+    cfg: SignalConfig,
+    n_iter: int,
+    warm_start: int,
+    polish_iters: int,
+) -> jnp.ndarray:
+    """Ragged-batch FAST Griffin-Lim: masked-exact warm start, the fused
+    Pallas kernel for the bulk iterations, masked-exact polish.
+
+    The kernel runs on the zero-masked padded batch — zero-magnitude pad
+    frames stay zero through its magnitude projection, so per-sample ends
+    see the kernel's usual interior-band edge approximation; the masked
+    exact warm/polish iterations (per-sample reflect + masked envelope)
+    supply the reference edge dynamics, mirroring the single-length
+    hybrid schedule's role (kernels/griffin_lim.py). Mixed-length serving
+    grids get the kernel's speed without giving up length awareness.
+    """
+    from ..kernels.griffin_lim import griffin_lim_phases_segmented
+    from .stft import istft_env_inv_masked, istft_jax_masked, stft_jax_masked
+
+    n_frames = mag.shape[-1]
+    fmask = (
+        jnp.arange(n_frames)[None, None, :] < frame_lengths[:, None, None]
+    ).astype(mag.dtype)
+    mag = mag * fmask
+    env_inv = istft_env_inv_masked(
+        frame_lengths, n_frames, cfg.n_fft, cfg.hop_length, cfg.win_length
+    )
+
+    def exact_iter(X):
+        x_t = istft_jax_masked(
+            X, env_inv, cfg.n_fft, cfg.hop_length, cfg.win_length
+        )
+        est = stft_jax_masked(
+            x_t, frame_lengths, cfg.n_fft, cfg.hop_length, cfg.win_length
+        )
+        phase = est / jnp.maximum(1e-8, jnp.abs(est))
+        return (mag * phase).astype(jnp.complex64)
+
+    warm = min(warm_start, n_iter)
+    polish = min(polish_iters, n_iter - warm)
+    X = mag.astype(jnp.complex64)
+    for _ in range(warm):
+        X = exact_iter(X)
+    kern_iters = n_iter - warm - polish
+    if kern_iters > 0:
+        X = griffin_lim_phases_segmented(
+            mag, cfg, n_iter=kern_iters, init_spec=X
+        )
+    for _ in range(polish):
+        X = exact_iter(X)
+    return jnp.real(
+        istft_jax_masked(X, env_inv, cfg.n_fft, cfg.hop_length, cfg.win_length)
+    ).astype(jnp.float32)
+
+
 def griffin_lim_jax_masked(
     mag: jnp.ndarray,
     frame_lengths: jnp.ndarray,
     cfg: SignalConfig = DEFAULT_SIGNAL,
     n_iter: Optional[int] = None,
+    method: str = "exact",
 ) -> jnp.ndarray:
-    """Batched ragged Griffin-Lim (see _griffin_lim_core_masked)."""
+    """Batched ragged Griffin-Lim.
+
+    ``method="exact"``: per-sample-exact iterations only (equal to
+    per-sample griffin_lim_jax, see _griffin_lim_core_masked).
+    ``method="pallas"``: the fused-kernel hybrid with masked warm/polish
+    (_griffin_lim_core_masked_fast) — the fast serving mode for
+    mixed-length grids. Measured on a mixed-length batch of 32 seg-~128
+    mags at 100 iters (v5e): per-sample SC 0.090-0.095 vs the exact
+    masked path's 0.083-0.090 at 44.7 vs 219.9 ms (4.9x); warm 8 /
+    polish 4 measured no better (0.0949) at +25% time, so 4/2 stands.
+    """
     n_iter = cfg.n_iter if n_iter is None else n_iter
+    lens = jnp.asarray(frame_lengths, jnp.int32)
+    if method == "pallas":
+        return _griffin_lim_core_masked_fast(
+            mag, lens, cfg, n_iter, 4, 2
+        )
     return _griffin_lim_core_masked(
         mag,
-        jnp.asarray(frame_lengths, jnp.int32),
+        lens,
         cfg.n_fft,
         cfg.hop_length,
         cfg.win_length,

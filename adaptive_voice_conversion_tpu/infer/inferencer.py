@@ -168,14 +168,12 @@ class Inferencer:
         chain computes at its true lengths: converted mels are pinned
         allclose 1e-5 and wavs peak-relative (Griffin-Lim conditioning
         bounds any cross-program comparison) in tests/test_masked.py.
-        gl_method="pallas" trades the vocoder exactness for the fused-kernel
-        speed (padded frames enter the kernel's iteration).
+        gl_method="pallas" swaps the vocoder for the fused-kernel hybrid
+        with masked warm/polish — still length-aware, spectral convergence
+        near the exact path's at a ~4x faster vocode (KERNELS_r04.json,
+        SERVING_r04.json).
         """
-        from ..dsp.vocoder import (
-            griffin_lim_jax,
-            griffin_lim_jax_masked,
-            mel_to_mag_jax,
-        )
+        from ..dsp.vocoder import griffin_lim_jax_masked, mel_to_mag_jax
         from ..dsp.audio import deemphasis_jax, trim_silence
         from ..models.masked import ae_inference_masked
 
@@ -227,13 +225,12 @@ class Inferencer:
             def vocode(dec, dec_lens):
                 dec = dec * std + mean
                 mag = mel_to_mag_jax(dec, cfg)
-                if gl_method == "pallas":
-                    w = griffin_lim_jax(mag, cfg, n_iter=gl_iters,
-                                        method=gl_method)
-                else:
-                    w = griffin_lim_jax_masked(
-                        mag, dec_lens, cfg, n_iter=gl_iters
-                    )
+                # both modes are length-aware: "exact" is per-sample-exact
+                # iterations; "pallas" is the fused-kernel hybrid with
+                # masked warm/polish (dsp/vocoder.griffin_lim_jax_masked)
+                w = griffin_lim_jax_masked(
+                    mag, dec_lens, cfg, n_iter=gl_iters, method=gl_method
+                )
                 return deemphasis_jax(w, cfg.preemphasis)
 
             self._jit_vocode[vkey] = vocode

@@ -227,3 +227,52 @@ def test_convert_grid_exact_vs_one_at_a_time(tmp_path):
             np.testing.assert_allclose(
                 got, ref[:n_samp], atol=2e-2 * max(peak, 1.0)
             )
+
+
+def test_griffin_lim_masked_fast_mode_tracks_exact():
+    """The ragged FAST mode (fused kernel + masked warm/polish,
+    method='pallas') must stay in the exact masked path's spectral-
+    convergence neighborhood per sample of a mixed-length batch."""
+    from adaptive_voice_conversion_tpu.dsp.stft import stft_np
+    from adaptive_voice_conversion_tpu.dsp.vocoder import griffin_lim_jax_masked
+
+    cfg = SignalConfig(
+        sr=8000, n_fft=256, hop_length=64, win_length=192, n_mels=8, n_iter=2
+    )
+    rng = np.random.default_rng(8)
+    lens = [40, 64, 51]
+    t = np.arange(64 * cfg.hop_length + cfg.n_fft) / cfg.sr
+    sig = (0.5 * np.sin(2 * np.pi * 220 * t)
+           + 0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    full = np.abs(
+        stft_np(sig, cfg.n_fft, cfg.hop_length, cfg.win_length)
+    ).astype(np.float32)
+    mags = [full[:, :L] * (1 + 0.01 * i) for i, L in enumerate(lens)]
+    mag_b = jnp.asarray(
+        np.stack([np.pad(m, ((0, 0), (0, 64 - m.shape[1]))) for m in mags])
+    )
+    n_it = 20
+    w_exact = np.asarray(
+        griffin_lim_jax_masked(mag_b, jnp.asarray(lens), cfg, n_iter=n_it)
+    )
+    w_fast = np.asarray(
+        griffin_lim_jax_masked(
+            mag_b, jnp.asarray(lens), cfg, n_iter=n_it, method="pallas"
+        )
+    )
+    assert np.isfinite(w_fast).all()
+
+    def sc(w, ref):
+        est = np.abs(
+            stft_np(np.asarray(w), cfg.n_fft, cfg.hop_length, cfg.win_length)
+        )
+        f = min(est.shape[1], ref.shape[1])
+        return float(
+            np.linalg.norm(est[:, :f] - ref[:, :f]) / np.linalg.norm(ref[:, :f])
+        )
+
+    for i, L in enumerate(lens):
+        n = cfg.hop_length * (L - 1)
+        s_e = sc(w_exact[i, :n], mags[i])
+        s_f = sc(w_fast[i, :n], mags[i])
+        assert s_f < s_e + 0.05, (i, s_f, s_e)
