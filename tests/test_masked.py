@@ -276,3 +276,36 @@ def test_griffin_lim_masked_fast_mode_tracks_exact():
         s_e = sc(w_exact[i, :n], mags[i])
         s_f = sc(w_fast[i, :n], mags[i])
         assert s_f < s_e + 0.05, (i, s_f, s_e)
+
+
+def test_convert_grid_uniform_fast_path_is_exact(tmp_path):
+    """Uniform-length grids take the specialized unmasked-model + plain-GL
+    programs (no masking needed — padding is empty); their mels must still
+    equal per-pair single conversion at 1e-5."""
+    from adaptive_voice_conversion_tpu.infer.inferencer import Inferencer
+
+    signal = SignalConfig(
+        sr=8000, n_fft=256, hop_length=64, win_length=192, n_mels=N_MELS, n_iter=2
+    )
+    cfg = dataclasses.replace(TINY, signal=signal)
+    params = init_ae(jax.random.PRNGKey(0), cfg.model)
+    rng = np.random.default_rng(9)
+    attr = {
+        "mean": rng.standard_normal(N_MELS).astype(np.float32),
+        "std": (1.0 + rng.random(N_MELS)).astype(np.float32),
+    }
+    attr_path = str(tmp_path / "attr.pkl")
+    with open(attr_path, "wb") as fh:
+        pickle.dump(attr, fh)
+    inf = Inferencer(cfg, params, attr_path)
+    # lengths multiples of the downsample product -> uniform branch
+    srcs = [rng.standard_normal((40, N_MELS)).astype(np.float32) for _ in range(2)]
+    tgts = [rng.standard_normal((24, N_MELS)).astype(np.float32) for _ in range(2)]
+    wavs, mels = inf.convert_grid(
+        srcs, tgts, gl_iters=8, trim=False, return_mels=True
+    )
+    assert ("exact", 8, True) in inf._jit_vocode  # uniform branch compiled
+    for i, s in enumerate(srcs):
+        for j, t in enumerate(tgts):
+            dec = inf.denormalize(inf.convert_mel(s, t))
+            np.testing.assert_allclose(mels[i * 2 + j], dec, atol=1e-5)
