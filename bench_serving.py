@@ -160,7 +160,7 @@ def main() -> None:
     )
 
     def compute_only(gl_method):
-        vocode = inf._jit_vocode[(gl_method or inf.gl_method, None)]
+        vocode = inf._jit_vocode[(gl_method or inf.gl_method, None, False)]
         dec, dec_lens = inf._jit_inference_masked(
             inf.params, src_b, sl_b, tar_b, tl_b
         )
@@ -201,6 +201,26 @@ def main() -> None:
     compute["pallas_gl_conversions_per_sec_compute_only"] = round(
         n_conv / dt_pc, 2
     )
+
+    # ---- uniform grid (round-3-comparable): all sources/targets seg-128;
+    # convert_grid auto-specializes to the unmasked model + plain GL,
+    # which are per-sample-exact when padding is empty ----
+    u_srcs = [
+        rng.standard_normal((128, 512)).astype(np.float32) for _ in range(4)
+    ]
+    u_tgts = [
+        rng.standard_normal((128, 512)).astype(np.float32) for _ in range(8)
+    ]
+    _ = inf.convert_grid(u_srcs, u_tgts)  # compile
+    tu = []
+    for _ in range(reps):
+        t0 = time.time()
+        _ = inf.convert_grid(u_srcs, u_tgts)
+        tu.append(time.time() - t0)
+    uniform = {
+        "conversions_per_sec": round(n_conv / float(np.median(tu)), 2),
+        "grid": "4x8 all-seg-128 (auto-specialized unmasked fast path)",
+    }
     audio_s = sum(L - 1 for L in src_lens) * n_tgt * cfg.signal.hop_length / cfg.signal.sr
     print(
         json.dumps(
@@ -229,6 +249,7 @@ def main() -> None:
                 "pallas_gl_conversions_per_sec": round(n_conv / dt_p, 2),
                 "pallas_gl_speedup": round(dt / dt_p, 2),
                 "compute_only": compute,
+                "uniform_grid": uniform,
                 "quality": quality,
                 "device": str(jax.devices()[0]),
             }
