@@ -264,3 +264,42 @@ def test_g2d_exact_recorded_experiment():
     mid = t // 2
     np.testing.assert_allclose(g2d[mid], g_per, rtol=1e-5)
     assert float(g2d[0].max()) > float(g_per.max())
+
+
+def test_griffin_lim_pallas_schedules_and_warm_start():
+    """The hybrid schedule knobs (warm_start, interleaved, polish) all run
+    and stay within the exact path's SC neighborhood (interpret mode)."""
+    from adaptive_voice_conversion_tpu.dsp.stft import stft_np
+    from adaptive_voice_conversion_tpu.dsp.vocoder import griffin_lim_jax
+    from adaptive_voice_conversion_tpu.kernels.griffin_lim import (
+        griffin_lim_pallas,
+    )
+
+    cfg = SignalConfig()
+    t = np.arange(int(0.7 * cfg.sr)) / cfg.sr
+    y = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    mag = np.abs(
+        stft_np(y, cfg.n_fft, cfg.hop_length, cfg.win_length)
+    ).astype(np.float32)
+
+    def sc(wav):
+        est = np.abs(
+            stft_np(np.asarray(wav), cfg.n_fft, cfg.hop_length, cfg.win_length)
+        )
+        f = min(est.shape[1], mag.shape[1])
+        return float(
+            np.linalg.norm(est[:, :f] - mag[:, :f]) / np.linalg.norm(mag[:, :f])
+        )
+
+    n_it = 12
+    sc_x = sc(griffin_lim_jax(jnp.asarray(mag), cfg, n_iter=n_it))
+    for kw in (
+        dict(warm_start=2, polish_iters=2, ext_frames=4),
+        dict(warm_start=0, polish_iters=3, schedule="interleaved"),
+        dict(warm_start=0, polish_iters=0, ext_frames=0),
+    ):
+        w = griffin_lim_pallas(
+            jnp.asarray(mag), cfg, n_iter=n_it, interpret=True, **kw
+        )
+        assert np.isfinite(np.asarray(w)).all()
+        assert sc(w) < sc_x + 0.08, (kw, sc(w), sc_x)
