@@ -14,6 +14,7 @@ TPU-native additions over the reference:
 
 from __future__ import annotations
 
+import math
 import pickle
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
@@ -152,6 +153,7 @@ class Inferencer:
         gl_method: Optional[str] = None,
         trim: bool = True,
         return_mels: bool = False,
+        len_bucket: int = 1,
     ):
         """All pairs (src_i, tar_j) in ONE padded batch through the model and
         one batched TPU Griffin-Lim call. Returns wavs row-major (i * n_t + j)
@@ -191,10 +193,16 @@ class Inferencer:
         tar_lens = np.array([m.shape[0] for m in tar_mels], np.int32)
         # physical source frames: multiple of the content downsample product
         # so the strided chain keeps integral physical shapes (per-sample
-        # valid lengths are handled by the masked ops)
+        # valid lengths are handled by the masked ops). ``len_bucket`` > 1
+        # additionally rounds the padded shapes up to bucket multiples so a
+        # serving deployment compiles ONE program per bucket instead of one
+        # per distinct length-set — the masked path is exact under ANY
+        # padding, so bucketing trades a little padded compute for bounded
+        # compile churn (results are unchanged; pinned in tests).
         sub = int(np.prod(self.config.model.content_encoder.subsample))
-        ts = -(-int(src_lens.max()) // sub) * sub
-        tt = int(tar_lens.max())
+        bs = sub * max(len_bucket, 1) // math.gcd(sub, max(len_bucket, 1))
+        ts = -(-int(src_lens.max()) // bs) * bs
+        tt = -(-int(tar_lens.max()) // max(len_bucket, 1)) * max(len_bucket, 1)
         # uniform grids (every source already at the padded length, every
         # target equal) need no masking at all — padding is empty, so the
         # unmasked model and plain Griffin-Lim ARE the per-sample-exact

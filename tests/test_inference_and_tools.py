@@ -166,3 +166,57 @@ def test_convert_grid_tiny():
     wavs = inf.convert_grid(srcs, tgts, gl_iters=2)
     assert len(wavs) == 6
     assert all(np.isfinite(w).all() for w in wavs)
+
+
+def test_convert_grid_cli(tmp_path):
+    """The batch-serving CLI: wav files in -> one grid call -> wavs out."""
+    import dataclasses
+
+    import jax
+
+    from adaptive_voice_conversion_tpu.cli import convert_grid as cli_grid
+    from adaptive_voice_conversion_tpu.core.config import save_config
+    from adaptive_voice_conversion_tpu.models import init_ae
+    from adaptive_voice_conversion_tpu.models.torch_export import (
+        save_torch_checkpoint,
+    )
+
+    sr = 8000
+    signal = SignalConfig(
+        sr=sr, n_fft=256, hop_length=64, win_length=192, n_mels=8, n_iter=2
+    )
+    cfg = dataclasses.replace(TINY, signal=signal)
+    cfg_path = str(tmp_path / "config.yaml")
+    save_config(cfg, cfg_path)
+    params = init_ae(jax.random.PRNGKey(0), cfg.model)
+    ckpt = str(tmp_path / "model.ckpt")
+    save_torch_checkpoint(params, cfg.model, ckpt)
+    attr = {"mean": np.zeros(8, np.float32), "std": np.ones(8, np.float32)}
+    attr_path = str(tmp_path / "attr.pkl")
+    with open(attr_path, "wb") as f:
+        pickle.dump(attr, f)
+
+    rng = np.random.default_rng(0)
+    paths = {}
+    for name, seconds in [("s1", 0.5), ("s2", 0.4), ("t1", 0.45)]:
+        n = int(seconds * sr)
+        t = np.arange(n) / sr
+        y = 0.4 * np.sin(2 * np.pi * (200 + 50 * len(paths)) * t)
+        y = (y + 0.01 * rng.standard_normal(n)).astype(np.float32)
+        p = str(tmp_path / f"{name}.wav")
+        save_wav(p, y, sr)
+        paths[name] = p
+
+    out_dir = str(tmp_path / "out")
+    cli_grid.main([
+        "-a", attr_path, "-c", cfg_path, "-m", ckpt,
+        "-s", paths["s1"], paths["s2"], "-t", paths["t1"],
+        "-o", out_dir, "--gl_iters", "2",
+    ])
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["s1__to__t1.wav", "s2__to__t1.wav"], outs
+    from scipy.io import wavfile
+
+    for f in outs:
+        _, w = wavfile.read(os.path.join(out_dir, f))
+        assert np.isfinite(w).all() and len(w) > 500

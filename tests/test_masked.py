@@ -309,3 +309,35 @@ def test_convert_grid_uniform_fast_path_is_exact(tmp_path):
         for j, t in enumerate(tgts):
             dec = inf.denormalize(inf.convert_mel(s, t))
             np.testing.assert_allclose(mels[i * 2 + j], dec, atol=1e-5)
+
+
+def test_convert_grid_len_bucket_does_not_change_results(tmp_path):
+    """Bucketed padded shapes (serving compile-churn control) must not
+    change any output — the masked path is exact under any padding."""
+    from adaptive_voice_conversion_tpu.infer.inferencer import Inferencer
+
+    signal = SignalConfig(
+        sr=8000, n_fft=256, hop_length=64, win_length=192, n_mels=N_MELS, n_iter=2
+    )
+    cfg = dataclasses.replace(TINY, signal=signal)
+    params = init_ae(jax.random.PRNGKey(0), cfg.model)
+    rng = np.random.default_rng(10)
+    attr = {
+        "mean": rng.standard_normal(N_MELS).astype(np.float32),
+        "std": (1.0 + rng.random(N_MELS)).astype(np.float32),
+    }
+    attr_path = str(tmp_path / "attr.pkl")
+    with open(attr_path, "wb") as fh:
+        pickle.dump(attr, fh)
+    inf = Inferencer(cfg, params, attr_path)
+    srcs = [rng.standard_normal((L, N_MELS)).astype(np.float32) for L in (37, 29)]
+    tgts = [rng.standard_normal((L, N_MELS)).astype(np.float32) for L in (24, 31)]
+    _, mels_a = inf.convert_grid(
+        srcs, tgts, gl_iters=4, trim=False, return_mels=True
+    )
+    _, mels_b = inf.convert_grid(
+        srcs, tgts, gl_iters=4, trim=False, return_mels=True, len_bucket=16
+    )
+    for a, b in zip(mels_a, mels_b):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(b, a, atol=1e-5)
