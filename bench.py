@@ -284,7 +284,11 @@ def main() -> None:
     h2d_mb_s = probe_bytes / (time.time() - t0) / 1e6
     _note(f"H2D tunnel probe: {h2d_mb_s:.1f} MB/s")
 
-    trial_steps = 60 if smoke else 500
+    # 700 steps crosses at least one visit boundary for BOTH modes (visits
+    # are ~260 steps at repeats=1, ~520 at repeats=2), so every trial
+    # includes the end-of-visit fut.result() that a stalled transfer would
+    # block on — shorter trials flattered repeats=2 by never waiting
+    trial_steps = 60 if smoke else 700
     r1_trials, r2_trials = [], []
     for _ in range(1 if smoke else 3):
         r1_trials.append(run_chunked(1, trial_steps))
