@@ -168,9 +168,10 @@ def istft_jax(
 # - STFT: the center=True reflect padding must reflect at the sample's own
 #   signal end hop*(L_b - 1), not the padded buffer's physical end. Only
 #   frames whose analysis window crosses the sample's end differ — the last
-#   ceil((n_fft - n_fft//2) / hop) valid frames — so the bulk framing stays
-#   the fast slice-based path and just those edge frames are recomputed with
-#   a per-sample reflect gather.
+#   ceil((n_fft - n_fft//2) / hop) valid frames — and they are served by
+#   mirroring each sample's signal tail in place (one contiguous dynamic
+#   slice + update per sample; see stft_jax_masked) so the bulk framing
+#   stays the fast slice-based path.
 # ---------------------------------------------------------------------------
 
 
@@ -217,7 +218,9 @@ def istft_jax_masked(
 def n_edge_frames(n_fft: int, hop_length: int) -> int:
     """Frames whose analysis window crosses the signal end: the window of
     frame i spans samples [i*hop - pad, i*hop - pad + n_fft); it crosses
-    N = hop*(L-1) iff i > L - 1 - (n_fft - pad)/hop."""
+    N = hop*(L-1) iff i > L - 1 - (n_fft - pad)/hop. (Documentation
+    helper: stft_jax_masked handles these frames by mirroring the signal
+    tail rather than recomputing them individually.)"""
     pad = n_fft // 2
     return -(-(n_fft - pad) // hop_length)
 

@@ -65,7 +65,7 @@ class Inferencer:
             lambda p, x, xc: ae_inference(p, self.config.model, x, xc)
         )
         self._jit_inference_masked = None  # built lazily by convert_grid
-        self._jit_vocode = {}  # (gl_method, gl_iters) -> jitted vocode fn
+        self._jit_vocode = {}  # (gl_method, gl_iters, uniform) -> jitted fn
 
     # -- constructors -----------------------------------------------------
 
