@@ -52,8 +52,25 @@ class Inferencer:
         attr_path: str,
         use_tpu_vocoder: bool = True,
         gl_method: str = "exact",
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` for DISTRIBUTED serving
+        — ``convert_grid`` shards its ns*nt pair batch over the 'data' axis
+        (params replicated) so conversion throughput scales with chips; the
+        grid batch is padded to a multiple of the data-axis size (the
+        masked path is exact under any padding) and results gather on the
+        single bulk D2H. The model is batch-parallel end to end (conv
+        stacks, masked Griffin-Lim), so no cross-device communication runs
+        inside the programs at all."""
         self.config = config
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            self._repl = repl
+            self._batch_sh = NamedSharding(mesh, P("data"))
+            params = jax.device_put(params, repl)
         self.params = params
         self.use_tpu_vocoder = use_tpu_vocoder
         # "pallas": opt-in fused Griffin-Lim kernel (dsp/vocoder.py
@@ -210,7 +227,7 @@ class Inferencer:
         # (~20% of the vocode; data-dependent, decided on the host)
         uniform = bool(
             (src_lens == ts).all() and (tar_lens == tt).all()
-        )
+        ) and self.mesh is None  # mesh path always uses the masked programs
 
         def pad_to(m, t):
             return np.pad(m, ((0, t - m.shape[0]), (0, 0)))
@@ -224,13 +241,33 @@ class Inferencer:
         tar_b = jnp.tile(jnp.asarray(tar), (ns, 1, 1))
         sl_b = jnp.repeat(jnp.asarray(src_lens), nt, axis=0)
         tl_b = jnp.tile(jnp.asarray(tar_lens), (ns,))
+        pad_rows = 0
+        if self.mesh is not None:
+            # pad the pair batch to the data-axis multiple (extra rows are
+            # copies of pair 0 and dropped after the gather; results for
+            # real pairs are untouched — masked programs are per-sample)
+            n_data = int(self.mesh.shape["data"])
+            pad_rows = (-(ns * nt)) % n_data
+            if pad_rows:
+                rep = lambda a: jnp.concatenate(
+                    [a] + [a[:1]] * pad_rows, axis=0
+                )
+                src_b, tar_b = rep(src_b), rep(tar_b)
+                sl_b, tl_b = rep(sl_b), rep(tl_b)
+            put = lambda a: jax.device_put(a, self._batch_sh)
+            src_b, tar_b, sl_b, tl_b = map(put, (src_b, tar_b, sl_b, tl_b))
         if self._jit_inference_masked is None:
             mcfg = self.config.model
-            self._jit_inference_masked = jax.jit(
-                lambda p, x, xl, xc, cl: ae_inference_masked(
-                    p, mcfg, x, xl, xc, cl
-                )
+            fn = lambda p, x, xl, xc, cl: ae_inference_masked(
+                p, mcfg, x, xl, xc, cl
             )
+            if self.mesh is not None:
+                b, r = self._batch_sh, self._repl
+                self._jit_inference_masked = jax.jit(
+                    fn, in_shardings=(r, b, b, b, b), out_shardings=(b, b)
+                )
+            else:
+                self._jit_inference_masked = jax.jit(fn)
         # the whole post-model chain — denormalize, mel->linear, Griffin-
         # Lim, de-preemphasis — is ONE jitted program: dec never visits the
         # host, eager per-op dispatch (20-35 ms each through the tunnel)
@@ -243,8 +280,7 @@ class Inferencer:
             mean = jnp.asarray(self.attr["mean"], jnp.float32)
             std = jnp.asarray(self.attr["std"], jnp.float32)
 
-            @jax.jit
-            def vocode(dec, dec_lens):
+            def _vocode(dec, dec_lens):
                 dec = dec * std + mean
                 mag = mel_to_mag_jax(dec, cfg)
                 if uniform:
@@ -262,6 +298,14 @@ class Inferencer:
                     )
                 return deemphasis_jax(w, cfg.preemphasis)
 
+            if self.mesh is not None:
+                vocode = jax.jit(
+                    _vocode,
+                    in_shardings=(self._batch_sh, self._batch_sh),
+                    out_shardings=self._batch_sh,
+                )
+            else:
+                vocode = jax.jit(_vocode)
             self._jit_vocode[vkey] = vocode
         if uniform:
             dec_dev = self._jit_inference(self.params, src_b, tar_b)
@@ -271,6 +315,8 @@ class Inferencer:
                 self.params, src_b, sl_b, tar_b, tl_b
             )
         wavs = np.asarray(vocode(dec_dev, dec_lens))
+        if pad_rows:
+            wavs = wavs[: ns * nt]
         out = []
         for i in range(ns):
             true_t = int(src_lens[i])

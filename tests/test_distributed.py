@@ -144,3 +144,53 @@ def test_tp_step_matches_single_device():
     assert flat["['content_encoder']['conv_blocks'][0]['first']['w']"][-1] == "model"
     assert flat["['content_encoder']['conv_blocks'][0]['second']['w']"][-2] == "model"
     assert flat["['content_encoder']['conv_blocks'][0]['second']['b']"] == ()
+
+
+def test_convert_grid_sharded_over_mesh_matches_single(tmp_path):
+    """Distributed serving: the conversion grid sharded over an 8-device
+    'data' mesh (params replicated, pair batch sharded, batch padded to
+    the mesh multiple) must produce the same mels/wavs as the meshless
+    grid."""
+    import dataclasses
+    import pickle
+
+    from adaptive_voice_conversion_tpu.core.config import SignalConfig
+    from adaptive_voice_conversion_tpu.core.mesh import make_mesh
+    from adaptive_voice_conversion_tpu.infer.inferencer import Inferencer
+    from adaptive_voice_conversion_tpu.models import init_ae
+
+    from test_e2e import TINY, N_MELS
+
+    signal = SignalConfig(
+        sr=8000, n_fft=256, hop_length=64, win_length=192, n_mels=N_MELS,
+        n_iter=2,
+    )
+    cfg = dataclasses.replace(TINY, signal=signal)
+    params = init_ae(jax.random.PRNGKey(0), cfg.model)
+    rng = np.random.default_rng(11)
+    attr = {"mean": np.zeros(N_MELS, np.float32), "std": np.ones(N_MELS, np.float32)}
+    attr_path = str(tmp_path / "attr.pkl")
+    with open(attr_path, "wb") as f:
+        pickle.dump(attr, f)
+    srcs = [rng.standard_normal((L, N_MELS)).astype(np.float32) for L in (40, 29, 33)]
+    tgts = [rng.standard_normal((L, N_MELS)).astype(np.float32) for L in (24, 31)]
+    # 3 x 2 = 6 pairs on an 8-device mesh -> pads 2 rows internally
+    mesh = make_mesh(n_data=8, devices=jax.devices()[:8])
+    inf_mesh = Inferencer(cfg, params, attr_path, mesh=mesh)
+    inf_single = Inferencer(cfg, params, attr_path)
+    wavs_m, mels_m = inf_mesh.convert_grid(
+        srcs, tgts, gl_iters=4, trim=False, return_mels=True
+    )
+    wavs_s, mels_s = inf_single.convert_grid(
+        srcs, tgts, gl_iters=4, trim=False, return_mels=True
+    )
+    assert len(wavs_m) == len(wavs_s) == 6
+    for a, b in zip(mels_m, mels_s):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    for a, b in zip(wavs_m, wavs_s):
+        # sharded-vs-single matmul partitioning reorders reductions; the
+        # ~1e-5 mel noise is amplified exponentially by the dB->amplitude
+        # map and Griffin-Lim's phase iteration (see tests/test_masked.py
+        # conditioning note), so the wav check is peak-relative
+        peak = max(float(np.abs(b).max()), 1.0)
+        np.testing.assert_allclose(a, b, atol=1e-2 * peak)
