@@ -162,6 +162,72 @@ class Inferencer:
 
     # -- batched serving --------------------------------------------------
 
+    def _get_masked_jit(self):
+        """The jitted length-masked inference (built lazily; mesh-sharded
+        over the pair batch when serving distributed)."""
+        from ..models.masked import ae_inference_masked
+
+        if self._jit_inference_masked is None:
+            mcfg = self.config.model
+            fn = lambda p, x, xl, xc, cl: ae_inference_masked(
+                p, mcfg, x, xl, xc, cl
+            )
+            if self.mesh is not None:
+                b, r = self._batch_sh, self._repl
+                self._jit_inference_masked = jax.jit(
+                    fn, in_shardings=(r, b, b, b, b), out_shardings=(b, b)
+                )
+            else:
+                self._jit_inference_masked = jax.jit(fn)
+        return self._jit_inference_masked
+
+    def _get_vocode(self, gl_method, gl_iters, uniform):
+        """One jitted program for the whole post-model chain — denormalize,
+        mel->linear, Griffin-Lim, de-preemphasis: dec never visits the
+        host, eager per-op dispatch (20-35 ms each through the tunnel)
+        disappears, and there is a single bulk D2H of the finished wavs.
+        Trim is the only host step left (the reference runs lfilter + trim
+        per wav on the host, inference.py:62-93 / utils.py:106-109)."""
+        from ..dsp.vocoder import griffin_lim_jax_masked, mel_to_mag_jax
+        from ..dsp.audio import deemphasis_jax
+
+        cfg = self.config.signal
+        vkey = (gl_method, gl_iters, uniform)
+        vocode = self._jit_vocode.get(vkey)
+        if vocode is not None:
+            return vocode
+        mean = jnp.asarray(self.attr["mean"], jnp.float32)
+        std = jnp.asarray(self.attr["std"], jnp.float32)
+
+        def _vocode(dec, dec_lens):
+            dec = dec * std + mean
+            mag = mel_to_mag_jax(dec, cfg)
+            if uniform:
+                from ..dsp.vocoder import griffin_lim_jax
+
+                w = griffin_lim_jax(
+                    mag, cfg, n_iter=gl_iters, method=gl_method
+                )
+            else:
+                # both modes are length-aware: "exact" is per-sample-
+                # exact iterations; "pallas" the fused-kernel hybrid
+                # with masked warm/polish (dsp/vocoder)
+                w = griffin_lim_jax_masked(
+                    mag, dec_lens, cfg, n_iter=gl_iters, method=gl_method
+                )
+            return deemphasis_jax(w, cfg.preemphasis)
+
+        if self.mesh is not None:
+            vocode = jax.jit(
+                _vocode,
+                in_shardings=(self._batch_sh, self._batch_sh),
+                out_shardings=self._batch_sh,
+            )
+        else:
+            vocode = jax.jit(_vocode)
+        self._jit_vocode[vkey] = vocode
+        return vocode
+
     def convert_grid(
         self,
         src_mels: Sequence[np.ndarray],
@@ -256,62 +322,12 @@ class Inferencer:
                 sl_b, tl_b = rep(sl_b), rep(tl_b)
             put = lambda a: jax.device_put(a, self._batch_sh)
             src_b, tar_b, sl_b, tl_b = map(put, (src_b, tar_b, sl_b, tl_b))
-        if self._jit_inference_masked is None:
-            mcfg = self.config.model
-            fn = lambda p, x, xl, xc, cl: ae_inference_masked(
-                p, mcfg, x, xl, xc, cl
-            )
-            if self.mesh is not None:
-                b, r = self._batch_sh, self._repl
-                self._jit_inference_masked = jax.jit(
-                    fn, in_shardings=(r, b, b, b, b), out_shardings=(b, b)
-                )
-            else:
-                self._jit_inference_masked = jax.jit(fn)
-        # the whole post-model chain — denormalize, mel->linear, Griffin-
-        # Lim, de-preemphasis — is ONE jitted program: dec never visits the
-        # host, eager per-op dispatch (20-35 ms each through the tunnel)
-        # disappears, and there is a single bulk D2H of the finished wavs.
-        # Trim is the only host step left (reference runs lfilter + trim
-        # per wav on the host, inference.py:62-93 / utils.py:106-109).
-        vkey = (gl_method, gl_iters, uniform)
-        vocode = self._jit_vocode.get(vkey)
-        if vocode is None:
-            mean = jnp.asarray(self.attr["mean"], jnp.float32)
-            std = jnp.asarray(self.attr["std"], jnp.float32)
-
-            def _vocode(dec, dec_lens):
-                dec = dec * std + mean
-                mag = mel_to_mag_jax(dec, cfg)
-                if uniform:
-                    from ..dsp.vocoder import griffin_lim_jax
-
-                    w = griffin_lim_jax(
-                        mag, cfg, n_iter=gl_iters, method=gl_method
-                    )
-                else:
-                    # both modes are length-aware: "exact" is per-sample-
-                    # exact iterations; "pallas" the fused-kernel hybrid
-                    # with masked warm/polish (dsp/vocoder)
-                    w = griffin_lim_jax_masked(
-                        mag, dec_lens, cfg, n_iter=gl_iters, method=gl_method
-                    )
-                return deemphasis_jax(w, cfg.preemphasis)
-
-            if self.mesh is not None:
-                vocode = jax.jit(
-                    _vocode,
-                    in_shardings=(self._batch_sh, self._batch_sh),
-                    out_shardings=self._batch_sh,
-                )
-            else:
-                vocode = jax.jit(_vocode)
-            self._jit_vocode[vkey] = vocode
+        vocode = self._get_vocode(gl_method, gl_iters, uniform)
         if uniform:
             dec_dev = self._jit_inference(self.params, src_b, tar_b)
             dec_lens = jnp.full((ns * nt,), dec_dev.shape[1], jnp.int32)
         else:
-            dec_dev, dec_lens = self._jit_inference_masked(
+            dec_dev, dec_lens = self._get_masked_jit()(
                 self.params, src_b, sl_b, tar_b, tl_b
             )
         wavs = np.asarray(vocode(dec_dev, dec_lens))
@@ -335,3 +351,77 @@ class Inferencer:
             for k in range(ns * nt)
         ]
         return out, mels
+
+    def convert_pairs(
+        self,
+        pairs,
+        gl_iters: Optional[int] = None,
+        gl_method: Optional[str] = None,
+        trim: bool = True,
+        return_mels: bool = False,
+        len_bucket: int = 1,
+    ):
+        """Convert an explicit list of (source_mel, target_mel) PAIRS in one
+        padded batch — the production-serving shape when requests are not a
+        cross product. Same exactness guarantees and options as
+        ``convert_grid`` (length-masked model + ragged Griffin-Lim; mesh
+        sharding; ``len_bucket`` compile-churn control); reuses the same
+        compiled programs.
+        """
+        if gl_method is None:
+            gl_method = self.gl_method
+        if self.config.data_loader.frame_size != 1:
+            raise NotImplementedError(
+                "convert_pairs assumes frame_size=1 (config.yaml:39)"
+            )
+        cfg = self.config.signal
+        n = len(pairs)
+        src_mels = [np.asarray(s_, np.float32) for s_, _ in pairs]
+        tar_mels = [np.asarray(t_, np.float32) for _, t_ in pairs]
+        src_lens = np.array([m.shape[0] for m in src_mels], np.int32)
+        tar_lens = np.array([m.shape[0] for m in tar_mels], np.int32)
+        sub = int(np.prod(self.config.model.content_encoder.subsample))
+        bk = max(len_bucket, 1)
+        bs = sub * bk // math.gcd(sub, bk)
+        ts = -(-int(src_lens.max()) // bs) * bs
+        tt = -(-int(tar_lens.max()) // bk) * bk
+
+        def pad_to(m, t):
+            return np.pad(m, ((0, t - m.shape[0]), (0, 0)))
+
+        src_b = jnp.asarray(np.stack([pad_to(m, ts) for m in src_mels]))
+        tar_b = jnp.asarray(np.stack([pad_to(m, tt) for m in tar_mels]))
+        sl_b = jnp.asarray(src_lens)
+        tl_b = jnp.asarray(tar_lens)
+        pad_rows = 0
+        if self.mesh is not None:
+            n_data = int(self.mesh.shape["data"])
+            pad_rows = (-n) % n_data
+            if pad_rows:
+                rep = lambda a: jnp.concatenate(
+                    [a] + [a[:1]] * pad_rows, axis=0
+                )
+                src_b, tar_b, sl_b, tl_b = map(rep, (src_b, tar_b, sl_b, tl_b))
+            put = lambda a: jax.device_put(a, self._batch_sh)
+            src_b, tar_b, sl_b, tl_b = map(put, (src_b, tar_b, sl_b, tl_b))
+        vocode = self._get_vocode(gl_method, gl_iters, False)
+        dec_dev, dec_lens = self._get_masked_jit()(
+            self.params, src_b, sl_b, tar_b, tl_b
+        )
+        wavs = np.asarray(vocode(dec_dev, dec_lens))
+        out = []
+        for k in range(n):
+            n_samp = cfg.hop_length * (int(src_lens[k]) - 1)
+            w = wavs[k][:n_samp]
+            if trim:
+                from ..dsp.audio import trim_silence
+
+                w, _ = trim_silence(w, top_db=60.0)
+            out.append(w.astype(np.float32))
+        if not return_mels:
+            return out
+        dec_host = np.asarray(dec_dev)
+        dl = np.asarray(dec_lens)
+        return out, [
+            self.denormalize(dec_host[k, : dl[k]]) for k in range(n)
+        ]

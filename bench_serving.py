@@ -107,6 +107,7 @@ def main() -> None:
     quality = {
         "vs": "reference model.py AE.inference, f32 torch CPU, same weights",
         "mel_mae": round(float(np.mean(mae)), 6),
+        "mel_mae_db": round(float(np.mean(mae)) * cfg.signal.max_db, 3),
         "mel_mae_worst_pair": round(float(np.max(mae)), 6),
         "mel_max_abs": round(float(np.max(maxabs)), 6),
         "mcd_db": round(float(np.mean(mcds)), 4),

@@ -341,3 +341,38 @@ def test_convert_grid_len_bucket_does_not_change_results(tmp_path):
     for a, b in zip(mels_a, mels_b):
         assert a.shape == b.shape
         np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_convert_pairs_matches_per_pair_singles(tmp_path):
+    """Explicit-pair serving: convert_pairs mels == per-pair single
+    conversion at 1e-5 for mixed-length pairs."""
+    from adaptive_voice_conversion_tpu.infer.inferencer import Inferencer
+
+    signal = SignalConfig(
+        sr=8000, n_fft=256, hop_length=64, win_length=192, n_mels=N_MELS, n_iter=2
+    )
+    cfg = dataclasses.replace(TINY, signal=signal)
+    params = init_ae(jax.random.PRNGKey(0), cfg.model)
+    rng = np.random.default_rng(12)
+    attr = {
+        "mean": rng.standard_normal(N_MELS).astype(np.float32),
+        "std": (1.0 + rng.random(N_MELS)).astype(np.float32),
+    }
+    attr_path = str(tmp_path / "attr.pkl")
+    with open(attr_path, "wb") as fh:
+        pickle.dump(attr, fh)
+    inf = Inferencer(cfg, params, attr_path)
+    pairs = [
+        (rng.standard_normal((ls, N_MELS)).astype(np.float32),
+         rng.standard_normal((lt, N_MELS)).astype(np.float32))
+        for ls, lt in ((40, 24), (29, 33), (35, 19))
+    ]
+    wavs, mels = inf.convert_pairs(
+        pairs, gl_iters=4, trim=False, return_mels=True
+    )
+    assert len(wavs) == len(mels) == 3
+    for k, (s, t) in enumerate(pairs):
+        dec = inf.denormalize(inf.convert_mel(s, t))
+        assert mels[k].shape == dec.shape
+        np.testing.assert_allclose(mels[k], dec, atol=1e-5)
+        assert wavs[k].shape[0] == signal.hop_length * (s.shape[0] - 1)
