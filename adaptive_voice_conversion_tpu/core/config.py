@@ -163,6 +163,24 @@ def _filter_kwargs(cls, d: dict) -> dict:
     return out
 
 
+def _parse_opt_fused(v):
+    """Validate/normalize the opt_fused config value at LOAD time so bad
+    values fail here (naming the config key) instead of deep inside the
+    train-step build. Accepts bool, 0/1 (legacy truthy YAML), or
+    "bucketed<K>"."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return bool(v)
+    if isinstance(v, str) and v.startswith("bucketed"):
+        tail = v[len("bucketed"):]
+        if tail == "" or tail.isdigit():
+            return v
+    raise ValueError(
+        f"config opt_fused={v!r}: expected false, true, or 'bucketed<K>'"
+    )
+
+
 def config_from_dict(raw: dict) -> TrainConfig:
     """Build a TrainConfig from a reference-format config dict.
 
@@ -200,7 +218,7 @@ def config_from_dict(raw: dict) -> TrainConfig:
         chunk_repeats=int(raw.get("chunk_repeats", 1)),
         inner_steps=int(raw.get("inner_steps", 10)),
         opt_state_dtype=str(raw.get("opt_state_dtype", "float32")),
-        opt_fused=raw.get("opt_fused", False),
+        opt_fused=_parse_opt_fused(raw.get("opt_fused", False)),
     )
 
 

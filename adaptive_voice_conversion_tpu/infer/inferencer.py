@@ -67,6 +67,15 @@ class Inferencer:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "Inferencer(mesh=...) supports single-controller meshes "
+                    "(one process driving N local chips). Multi-process "
+                    "serving would need per-process input assembly "
+                    "(core.mesh.put_global) and addressable-shard gathers; "
+                    "shard requests across processes at the application "
+                    "level instead."
+                )
             repl = NamedSharding(mesh, P())
             self._repl = repl
             self._batch_sh = NamedSharding(mesh, P("data"))
@@ -109,8 +118,15 @@ class Inferencer:
         step = mngr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {store_model_path}.orbax")
+        # the template must match the TRAINING optimizer exactly — the
+        # saved opt state's pytree structure and dtypes depend on sn,
+        # opt_state_dtype (bf16 moments), and opt_fused (flattened /
+        # bucketed trees)
         opt_like = make_optimizer(
-            config.optimizer, sn=config.model.decoder.sn
+            config.optimizer,
+            sn=config.model.decoder.sn,
+            state_dtype=config.opt_state_dtype,
+            fused=config.opt_fused,
         ).init(params)
         params, _, _ = mngr.restore(step, params, opt_like)
         mngr.close()
@@ -258,10 +274,6 @@ class Inferencer:
         near the exact path's at a ~4x faster vocode (KERNELS_r04.json,
         SERVING_r04.json).
         """
-        from ..dsp.vocoder import griffin_lim_jax_masked, mel_to_mag_jax
-        from ..dsp.audio import deemphasis_jax, trim_silence
-        from ..models.masked import ae_inference_masked
-
         if gl_method is None:
             gl_method = self.gl_method  # honor the constructor/CLI choice
         if self.config.data_loader.frame_size != 1:
@@ -300,57 +312,82 @@ class Inferencer:
 
         src = np.stack([pad_to(m.astype(np.float32), ts) for m in src_mels])
         tar = np.stack([pad_to(m.astype(np.float32), tt) for m in tar_mels])
-        # cross product ON DEVICE: only the ns + nt unique mels cross the
-        # host->device link (the repeated ns*nt batch is ~ns x larger and
-        # the tunnel H2D is the serving path's scarcest resource)
-        src_b = jnp.repeat(jnp.asarray(src), nt, axis=0)
-        tar_b = jnp.tile(jnp.asarray(tar), (ns, 1, 1))
-        sl_b = jnp.repeat(jnp.asarray(src_lens), nt, axis=0)
-        tl_b = jnp.tile(jnp.asarray(tar_lens), (ns,))
+        if self.mesh is None:
+            # cross product ON DEVICE: only the ns + nt unique mels cross
+            # the host->device link (the repeated ns*nt batch is ~ns x
+            # larger and the tunnel H2D is the serving path's scarcest
+            # resource)
+            src_b = jnp.repeat(jnp.asarray(src), nt, axis=0)
+            tar_b = jnp.tile(jnp.asarray(tar), (ns, 1, 1))
+            sl_b = jnp.repeat(jnp.asarray(src_lens), nt, axis=0)
+            tl_b = jnp.tile(jnp.asarray(tar_lens), (ns,))
+        else:
+            # mesh path: build the pair batch on the HOST and let
+            # device_put place each shard directly — repeating on device
+            # would materialize the full batch on one chip before the
+            # reshard, capping grid size at single-chip HBM
+            src_b = np.repeat(src, nt, axis=0)
+            tar_b = np.tile(tar, (ns, 1, 1))
+            sl_b = np.repeat(src_lens, nt, axis=0)
+            tl_b = np.tile(tar_lens, ns)
+        crop_lens = np.repeat(src_lens, nt)
+        return self._serve_batch(
+            src_b, sl_b, tar_b, tl_b, crop_lens, gl_method, gl_iters,
+            uniform, trim, return_mels,
+        )
+
+    def _serve_batch(
+        self, src_b, sl_b, tar_b, tl_b, crop_lens, gl_method, gl_iters,
+        uniform, trim, return_mels,
+    ):
+        """Shared serving engine for convert_grid / convert_pairs: mesh
+        padding + sharded placement, the (masked) model program, the
+        vocode program, one bulk D2H, and the host-side crop/trim/mels
+        epilogue. ``crop_lens[k]`` is pair k's true source frame count."""
+        from ..dsp.audio import trim_silence
+
+        cfg = self.config.signal
+        n = len(crop_lens)
         pad_rows = 0
         if self.mesh is not None:
             # pad the pair batch to the data-axis multiple (extra rows are
             # copies of pair 0 and dropped after the gather; results for
             # real pairs are untouched — masked programs are per-sample)
             n_data = int(self.mesh.shape["data"])
-            pad_rows = (-(ns * nt)) % n_data
+            pad_rows = (-n) % n_data
             if pad_rows:
-                rep = lambda a: jnp.concatenate(
-                    [a] + [a[:1]] * pad_rows, axis=0
+                rep = lambda a: np.concatenate(
+                    [np.asarray(a)] + [np.asarray(a)[:1]] * pad_rows, axis=0
                 )
-                src_b, tar_b = rep(src_b), rep(tar_b)
-                sl_b, tl_b = rep(sl_b), rep(tl_b)
-            put = lambda a: jax.device_put(a, self._batch_sh)
+                src_b, tar_b, sl_b, tl_b = map(rep, (src_b, tar_b, sl_b, tl_b))
+            put = lambda a: jax.device_put(np.asarray(a), self._batch_sh)
             src_b, tar_b, sl_b, tl_b = map(put, (src_b, tar_b, sl_b, tl_b))
+        else:
+            src_b, tar_b = jnp.asarray(src_b), jnp.asarray(tar_b)
+            sl_b, tl_b = jnp.asarray(sl_b), jnp.asarray(tl_b)
         vocode = self._get_vocode(gl_method, gl_iters, uniform)
         if uniform:
             dec_dev = self._jit_inference(self.params, src_b, tar_b)
-            dec_lens = jnp.full((ns * nt,), dec_dev.shape[1], jnp.int32)
+            dec_lens = jnp.full((n,), dec_dev.shape[1], jnp.int32)
         else:
             dec_dev, dec_lens = self._get_masked_jit()(
                 self.params, src_b, sl_b, tar_b, tl_b
             )
         wavs = np.asarray(vocode(dec_dev, dec_lens))
-        if pad_rows:
-            wavs = wavs[: ns * nt]
         out = []
-        for i in range(ns):
-            true_t = int(src_lens[i])
-            n_samp = cfg.hop_length * (true_t - 1)
-            for j in range(nt):
-                w = wavs[i * nt + j][:n_samp]
-                if trim:
-                    w, _ = trim_silence(w, top_db=60.0)
-                out.append(w.astype(np.float32))
+        for k in range(n):
+            n_samp = cfg.hop_length * (int(crop_lens[k]) - 1)
+            w = wavs[k][:n_samp]
+            if trim:
+                w, _ = trim_silence(w, top_db=60.0)
+            out.append(w.astype(np.float32))
         if not return_mels:
             return out
         dec_host = np.asarray(dec_dev)
-        dec_lens = np.asarray(dec_lens)
-        mels = [
-            self.denormalize(dec_host[k, : dec_lens[k]])
-            for k in range(ns * nt)
+        dl = np.asarray(dec_lens)
+        return out, [
+            self.denormalize(dec_host[k, : dl[k]]) for k in range(n)
         ]
-        return out, mels
 
     def convert_pairs(
         self,
@@ -389,39 +426,9 @@ class Inferencer:
         def pad_to(m, t):
             return np.pad(m, ((0, t - m.shape[0]), (0, 0)))
 
-        src_b = jnp.asarray(np.stack([pad_to(m, ts) for m in src_mels]))
-        tar_b = jnp.asarray(np.stack([pad_to(m, tt) for m in tar_mels]))
-        sl_b = jnp.asarray(src_lens)
-        tl_b = jnp.asarray(tar_lens)
-        pad_rows = 0
-        if self.mesh is not None:
-            n_data = int(self.mesh.shape["data"])
-            pad_rows = (-n) % n_data
-            if pad_rows:
-                rep = lambda a: jnp.concatenate(
-                    [a] + [a[:1]] * pad_rows, axis=0
-                )
-                src_b, tar_b, sl_b, tl_b = map(rep, (src_b, tar_b, sl_b, tl_b))
-            put = lambda a: jax.device_put(a, self._batch_sh)
-            src_b, tar_b, sl_b, tl_b = map(put, (src_b, tar_b, sl_b, tl_b))
-        vocode = self._get_vocode(gl_method, gl_iters, False)
-        dec_dev, dec_lens = self._get_masked_jit()(
-            self.params, src_b, sl_b, tar_b, tl_b
+        src_b = np.stack([pad_to(m, ts) for m in src_mels])
+        tar_b = np.stack([pad_to(m, tt) for m in tar_mels])
+        return self._serve_batch(
+            src_b, src_lens, tar_b, tar_lens, src_lens, gl_method,
+            gl_iters, False, trim, return_mels,
         )
-        wavs = np.asarray(vocode(dec_dev, dec_lens))
-        out = []
-        for k in range(n):
-            n_samp = cfg.hop_length * (int(src_lens[k]) - 1)
-            w = wavs[k][:n_samp]
-            if trim:
-                from ..dsp.audio import trim_silence
-
-                w, _ = trim_silence(w, top_db=60.0)
-            out.append(w.astype(np.float32))
-        if not return_mels:
-            return out
-        dec_host = np.asarray(dec_dev)
-        dl = np.asarray(dec_lens)
-        return out, [
-            self.denormalize(dec_host[k, : dl[k]]) for k in range(n)
-        ]

@@ -526,18 +526,7 @@ def griffin_lim_pallas(
         for j in range(polish):
             k = base + (rem if j == 0 else 0)
             if k > 0:
-                init = None
-                if spec is not None and ext:
-                    init = jnp.concatenate(
-                        [
-                            spec[:, :, 1 : 1 + ext][:, :, ::-1],
-                            spec,
-                            spec[:, :, -1 - ext : -1][:, :, ::-1],
-                        ],
-                        axis=-1,
-                    )
-                elif spec is not None:
-                    init = spec
+                init = _ext_spec(spec)
                 spec = _crop(griffin_lim_phases_segmented(
                     mag_k, cfg, n_iter=k, interpret=interpret,
                     mxu_dtype=mxu_dtype, init_spec=init,

@@ -46,12 +46,20 @@ def reflect_pad_time_masked(
     """Per-sample reflect pad of (B, T, C) around [0, L_b), torch-style
     (edge sample not repeated). Output (B, left + T + right, C); positions
     past L_b + right are clamped garbage (finite, never read downstream).
+
+    The right-reflect is applied AFTER the left |pos| fold, so a sample
+    whose valid length is smaller than the pad width still resolves every
+    index into [0, L_b) (folded reflection, clamped to edge-extension for
+    the deepest pads) — reads NEVER land in another layer's garbage
+    region. Such ultra-short samples have no single-sample reference
+    behavior to match (torch's F.pad(reflect) raises when pad >= length);
+    normal-length samples are bit-identical to the per-sample pad.
     """
     t = x.shape[1]
     pos = jnp.arange(-left, t + right)[None, :]  # (1, P)
     l = lengths[:, None]
     idx = jnp.abs(pos)  # left reflect: -j -> j (same for every sample)
-    idx = jnp.where(pos >= l, 2 * l - 2 - pos, idx)  # right reflect at L_b
+    idx = jnp.where(idx >= l, 2 * l - 2 - idx, idx)  # right reflect at L_b
     idx = jnp.clip(idx, 0, t - 1)
     return jnp.take_along_axis(x, idx[:, :, None], axis=1)
 

@@ -176,7 +176,7 @@ def bucketed_flatten(
         ]
         return buckets, (treedef, assign, [l.shape for l in leaves], k)
 
-    def _unpack(buckets, spec, like_leaves):
+    def _unpack(buckets, spec):
         treedef, assign, shapes, k = spec
         out = [None] * len(shapes)
         offs = [0] * k
@@ -197,7 +197,7 @@ def bucketed_flatten(
         u_buckets, spec = _pack(updates)
         p_buckets = _pack(params)[0] if params is not None else None
         out_buckets, state = inner.update(u_buckets, state, p_buckets)
-        return _unpack(out_buckets, spec, updates), state
+        return _unpack(out_buckets, spec), state
 
     return optax.GradientTransformation(init_fn, update_fn)
 

@@ -376,3 +376,33 @@ def test_convert_pairs_matches_per_pair_singles(tmp_path):
         assert mels[k].shape == dec.shape
         np.testing.assert_allclose(mels[k], dec, atol=1e-5)
         assert wavs[k].shape[0] == signal.hop_length * (s.shape[0] - 1)
+
+
+def test_masked_batch_with_ultra_short_sample_does_not_contaminate():
+    """A sample shorter than a layer's pad width (no single-sample
+    reference behavior — torch reflect pad raises there) must resolve all
+    reads inside its own valid region: finite, deterministic, and the
+    OTHER samples in the batch stay exactly equal to their solo runs."""
+    cfg = TINY.model
+    params = init_ae(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(13)
+    lens_s, lens_t = [40, 6], [30, 5]  # sample 1 is degenerate-short
+    srcs, src_b, sl = _ragged_batch(rng, lens_s, 40, N_MELS)
+    tars, tar_b, tl = _ragged_batch(rng, lens_t, 30, N_MELS)
+    dec_b, out_lens = MM.ae_inference_masked(
+        params, cfg, src_b, sl, tar_b, tl
+    )
+    dec_b = np.asarray(dec_b)
+    assert np.isfinite(dec_b).all()
+    # the normal-length pair is untouched by its degenerate neighbor
+    single = np.asarray(
+        ae_inference(
+            params, cfg, jnp.asarray(srcs[0][None]), jnp.asarray(tars[0][None])
+        )
+    )[0]
+    np.testing.assert_allclose(dec_b[0, : single.shape[0]], single, atol=1e-5)
+    # determinism of the degenerate sample (folded-reflect is well-defined)
+    dec_b2 = np.asarray(
+        MM.ae_inference_masked(params, cfg, src_b, sl, tar_b, tl)[0]
+    )
+    np.testing.assert_array_equal(dec_b[1], dec_b2[1])
