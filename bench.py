@@ -82,6 +82,7 @@ def main() -> None:
         make_device_data_train_step,
     )
 
+    smoke_cfg = bool(int(os.environ.get("AVC_BENCH_SMOKE", "0")))
     cfg = dataclasses.replace(
         TrainConfig(),
         compute_dtype="bfloat16",
@@ -90,6 +91,31 @@ def main() -> None:
         # f32 update math + f32 master params (parity gates use f32 moments)
         inner_steps=INNER_STEPS,
     )
+    if smoke_cfg:
+        # CI/CPU smoke: shrink the MODEL too — full-config XLA-CPU
+        # compiles are minutes each on a 2-vCPU host; the smoke run
+        # validates the bench's wiring, not its numbers
+        m = cfg.model
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                m,
+                speaker_encoder=dataclasses.replace(
+                    m.speaker_encoder, bank_size=4, n_conv_blocks=2,
+                    n_dense_blocks=2, subsample=(1, 2),
+                ),
+                content_encoder=dataclasses.replace(
+                    m.content_encoder, bank_size=4, n_conv_blocks=2,
+                    subsample=(1, 2),
+                ),
+                decoder=dataclasses.replace(
+                    m.decoder, n_conv_blocks=2, upsample=(2, 1)
+                ),
+            ),
+            data_loader=dataclasses.replace(
+                cfg.data_loader, batch_size=8, segment_size=32
+            ),
+        )
     c = cfg.data_loader
     audio_s_per_batch = (
         c.batch_size * c.segment_size * cfg.signal.hop_length / cfg.signal.sr
@@ -357,7 +383,10 @@ def main() -> None:
         "top_flop_sinks": {
             name: round(f / total_f, 3) for name, f in top_sinks
         },
-        "config": "batch128 seg128 bf16 (bf16 Adam moments) device-resident K=10",
+        "config": (
+            "SMOKE (tiny model/batch; wiring-only numbers)" if smoke_cfg else
+            "batch128 seg128 bf16 (bf16 Adam moments) device-resident K=10"
+        ),
         "device": str(jax.devices()[0]),
     }
     if corpus_capped:
