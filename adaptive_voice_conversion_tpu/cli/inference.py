@@ -26,8 +26,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--gl_method", default="exact",
                         choices=["exact", "pallas"],
                         help="Griffin-Lim impl: exact XLA-FFT loop, or the "
-                        "fused Pallas kernel (4.26x faster, slightly lower "
-                        "spectral convergence; see KERNELS_r03.json)")
+                        "fused Pallas hybrid (~3.4x faster at spectral "
+                        "convergence at or below the exact path's; see "
+                        "KERNELS_r04.json)")
     return parser
 
 

@@ -174,10 +174,13 @@ def _parse_opt_fused(v):
         return bool(v)
     if isinstance(v, str) and v.startswith("bucketed"):
         tail = v[len("bucketed"):]
-        if tail == "" or tail.isdigit():
+        # K must be a positive int ("bucketed0" would build a 0-bucket
+        # plan that crashes opaquely at init) — empty tail means default K.
+        if tail == "" or (tail.isdigit() and int(tail) >= 1):
             return v
     raise ValueError(
-        f"config opt_fused={v!r}: expected false, true, or 'bucketed<K>'"
+        f"config opt_fused={v!r}: expected false, true, or 'bucketed<K>' "
+        f"with K >= 1"
     )
 
 

@@ -91,14 +91,22 @@ def scaling_sweep(
         thr = audio_s / dt
         if base is None:
             base = thr
-        results.append(
-            {
-                "devices": n,
-                "global_batch": scfg.data_loader.batch_size,
-                "audio_s_per_s": round(thr, 1),
-                "efficiency_vs_linear": round(thr / (base * n), 3),
-            }
-        )
+        row = {
+            "devices": n,
+            "global_batch": scfg.data_loader.batch_size,
+            "audio_s_per_s": round(thr, 1),
+        }
+        # On virtual CPU devices the sweep validates that the sharded
+        # program compiles+runs at each width; wall-clock there measures
+        # host CPU contention, not the framework, so recording an
+        # "efficiency" number would invite misreading (round-4 verdict).
+        # The real scaling story on hardware is the analytic v4-32 bound
+        # in BASELINE.md.
+        if jax.default_backend() == "cpu":
+            row["validation_only"] = True
+        else:
+            row["efficiency_vs_linear"] = round(thr / (base * n), 3)
+        results.append(row)
     return results
 
 

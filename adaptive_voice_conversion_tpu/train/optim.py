@@ -154,7 +154,7 @@ def bucketed_flatten(
 
     def _plan(tree):
         leaves, treedef = jax.tree_util.tree_flatten(tree)
-        k = min(n_buckets, len(leaves))  # never an empty bucket
+        k = max(1, min(n_buckets, len(leaves)))  # never an empty bucket
         order = sorted(
             range(len(leaves)), key=lambda i: -int(leaves[i].size)
         )

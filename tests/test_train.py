@@ -242,3 +242,11 @@ def test_fused_optimizer_modes_match_per_leaf_chain():
 
     with _pytest.raises(ValueError):
         make_optimizer(cfg, fused="nope")
+    # config-time validation: 'bucketed0' must fail AT LOAD with the key
+    # named, not crash opaquely inside bucketed_flatten's plan at init
+    from adaptive_voice_conversion_tpu.core.config import _parse_opt_fused
+
+    with _pytest.raises(ValueError, match="opt_fused"):
+        _parse_opt_fused("bucketed0")
+    assert _parse_opt_fused("bucketed4") == "bucketed4"
+    assert _parse_opt_fused("bucketed") == "bucketed"
