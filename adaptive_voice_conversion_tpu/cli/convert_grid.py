@@ -42,6 +42,13 @@ def build_parser() -> ArgumentParser:
                         "repeated calls with varying lengths reuse compiled "
                         "programs (results unchanged — the masked path is "
                         "exact under any padding)")
+    parser.add_argument("--precision", default=None,
+                        choices=["default", "high", "highest"],
+                        help="matmul/conv precision for the serving "
+                        "programs: default = one bf16 MXU pass (fast); "
+                        "highest = full-f32 results matching the "
+                        "reference's implicit f32 serving, at a measured "
+                        "throughput cost (SERVING_r05.json)")
     return parser
 
 
@@ -56,11 +63,13 @@ def main(argv=None) -> None:
     config = load_config(args.config)
     if os.path.isdir(f"{args.model}.orbax"):
         inferencer = Inferencer.from_orbax(
-            config, args.model, args.attr, gl_method=args.gl_method
+            config, args.model, args.attr, gl_method=args.gl_method,
+            precision=args.precision,
         )
     else:
         inferencer = Inferencer.from_torch_checkpoint(
-            config, args.model, args.attr, gl_method=args.gl_method
+            config, args.model, args.attr, gl_method=args.gl_method,
+            precision=args.precision,
         )
 
     def featurize(paths):

@@ -29,6 +29,13 @@ def build_parser() -> ArgumentParser:
                         "fused Pallas hybrid (~3.4x faster at spectral "
                         "convergence at or below the exact path's; see "
                         "KERNELS_r04.json)")
+    parser.add_argument("--precision", default=None,
+                        choices=["default", "high", "highest"],
+                        help="matmul/conv precision for the serving "
+                        "programs: default = one bf16 MXU pass (fast); "
+                        "highest = full-f32 results matching the "
+                        "reference's implicit f32 serving, at a measured "
+                        "throughput cost (SERVING_r05.json)")
     return parser
 
 
@@ -43,11 +50,13 @@ def main(argv=None) -> None:
         inferencer = Inferencer.from_orbax(
             config, args.model, args.attr,
             use_tpu_vocoder=not args.cpu_vocoder, gl_method=args.gl_method,
+            precision=args.precision,
         )
     else:
         inferencer = Inferencer.from_torch_checkpoint(
             config, args.model, args.attr,
             use_tpu_vocoder=not args.cpu_vocoder, gl_method=args.gl_method,
+            precision=args.precision,
         )
     inferencer.inference_from_path(args.source, args.target, args.output)
 

@@ -53,8 +53,20 @@ class Inferencer:
         use_tpu_vocoder: bool = True,
         gl_method: str = "exact",
         mesh=None,
+        precision: Optional[str] = None,
     ):
-        """``mesh``: optional ``jax.sharding.Mesh`` for DISTRIBUTED serving
+        """``precision``: matmul/conv precision for every jitted serving
+        program (model inference AND vocode). None keeps the device default
+        — on TPU that is one bf16 MXU pass per matmul, the fast serving
+        configuration whose quality deviation vs the f32 reference is the
+        mel-MAE block in SERVING artifacts. "highest" requests full-f32
+        results (TPU: multi-pass bf16 emulation), buying reference-level
+        numerics (PARITY max-abs ~7e-6 on TPU at HIGHEST, BASELINE.md) at a
+        measured throughput cost (SERVING_r05.json records both points).
+        The reference serves implicitly in f32 (inference.py:62-70);
+        "highest" is the like-for-like quality point, None the speed point.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` for DISTRIBUTED serving
         — ``convert_grid`` shards its ns*nt pair batch over the 'data' axis
         (params replicated) so conversion throughput scales with chips; the
         grid batch is padded to a multiple of the data-axis size (the
@@ -64,6 +76,12 @@ class Inferencer:
         inside the programs at all."""
         self.config = config
         self.mesh = mesh
+        if precision not in (None, "default", "high", "highest"):
+            raise ValueError(
+                f"precision={precision!r}: expected None/'default'/'high'/"
+                f"'highest' (jax matmul precision names)"
+            )
+        self.precision = None if precision == "default" else precision
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -88,10 +106,28 @@ class Inferencer:
         with open(attr_path, "rb") as f:
             self.attr = pickle.load(f)
         self._jit_inference = jax.jit(
-            lambda p, x, xc: ae_inference(p, self.config.model, x, xc)
+            self._with_precision(
+                lambda p, x, xc: ae_inference(p, self.config.model, x, xc)
+            )
         )
         self._jit_inference_masked = None  # built lazily by convert_grid
         self._jit_vocode = {}  # (gl_method, gl_iters, uniform) -> jitted fn
+
+    def _with_precision(self, fn):
+        """Wrap a to-be-jitted callable so it traces under the requested
+        matmul/conv precision. ``jax.default_matmul_precision`` is a
+        trace-time scope — the precision is baked into the jaxpr, so each
+        Inferencer compiles programs at exactly its configured precision
+        with zero per-call overhead."""
+        if self.precision is None:
+            return fn
+        prec = self.precision
+
+        def wrapped(*args):
+            with jax.default_matmul_precision(prec):
+                return fn(*args)
+
+        return wrapped
 
     # -- constructors -----------------------------------------------------
 
@@ -185,8 +221,10 @@ class Inferencer:
 
         if self._jit_inference_masked is None:
             mcfg = self.config.model
-            fn = lambda p, x, xl, xc, cl: ae_inference_masked(
-                p, mcfg, x, xl, xc, cl
+            fn = self._with_precision(
+                lambda p, x, xl, xc, cl: ae_inference_masked(
+                    p, mcfg, x, xl, xc, cl
+                )
             )
             if self.mesh is not None:
                 b, r = self._batch_sh, self._repl
@@ -233,6 +271,7 @@ class Inferencer:
                 )
             return deemphasis_jax(w, cfg.preemphasis)
 
+        _vocode = self._with_precision(_vocode)
         if self.mesh is not None:
             vocode = jax.jit(
                 _vocode,

@@ -166,6 +166,20 @@ def test_convert_grid_tiny():
     wavs = inf.convert_grid(srcs, tgts, gl_iters=2)
     assert len(wavs) == 6
     assert all(np.isfinite(w).all() for w in wavs)
+    # serving precision knob: on CPU every precision computes true f32, so
+    # 'highest' must reproduce the default bit-for-bit (the knob's effect
+    # is a TPU quality/throughput tradeoff, measured in SERVING_r05.json);
+    # this pins the plumbing — the wrapped programs run and agree
+    inf_hi = Inferencer(
+        cfg, params, attr_path, use_tpu_vocoder=False, precision="highest"
+    )
+    wavs_hi = inf_hi.convert_grid(srcs, tgts, gl_iters=2)
+    for w, wh in zip(wavs, wavs_hi):
+        np.testing.assert_array_equal(w, wh)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="precision"):
+        Inferencer(cfg, params, attr_path, precision="f64")
 
 
 def test_convert_grid_cli(tmp_path):
