@@ -35,8 +35,16 @@ def build_parser() -> ArgumentParser:
     # evaluation on held-out splits (the reference produces in_test/out_test
     # but never consumes them — SURVEY.md §4)
     parser.add_argument("-eval_set", default="",
-                        help="e.g. in_test — evaluated after training")
-    parser.add_argument("-eval_index_file", default="")
+                        help="e.g. in_test — evaluated after training, and "
+                        "during training every -eval_steps when set")
+    parser.add_argument("-eval_index_file", default="",
+                        help="defaults to {eval_set}_samples_{segment_size}"
+                        ".json (the preprocess pipeline's convention, "
+                        "preprocess_vctk.sh:15-19)")
+    parser.add_argument("-eval_steps", default=0, type=int,
+                        help="in-training eval cadence: every N steps log "
+                        "held-out losses + one converted audio sample from "
+                        "a fixed eval pair (0 = only post-training eval)")
     # TPU-native flags
     parser.add_argument("--n_data", type=int, default=0,
                         help="data-parallel mesh size (0 = all local devices)")
@@ -82,6 +90,9 @@ def main(argv=None) -> None:
         save_steps=args.save_steps,
         tag=args.tag,
         seed=args.seed,
+        eval_steps=args.eval_steps,
+        eval_set=args.eval_set,
+        eval_index_file=args.eval_index_file,
     )
     if args.debug_nans:
         from ..utils import enable_nan_debugging

@@ -47,7 +47,10 @@ class Logger:
     def audio_summary(self, tag: str, value, step: int, sr: int) -> None:
         """Fixed vs the reference (utils.py:25-26 references an undefined
         ``writer`` and would NameError). Falls back to writing a wav next to
-        the logs when tensorboardX lacks its soundfile dependency."""
+        the logs when tensorboardX lacks its soundfile dependency. Always
+        records the emission in metrics.jsonl (sample count) so runs are
+        auditable without parsing TB event files."""
+        self._write_jsonl(step, {f"{tag}/audio_n_samples": int(len(value))})
         if self._tb is not None:
             try:
                 self._tb.add_audio(tag, value, step, sample_rate=sr)

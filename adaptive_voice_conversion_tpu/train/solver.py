@@ -46,6 +46,21 @@ class SolverArgs:
     save_steps: int = 5000
     tag: str = "init"
     seed: int = 0
+    # In-training evaluation cadence (the reference produces in_test /
+    # out_test splits but never consumes them — SURVEY.md §4). eval_steps=0
+    # disables; eval_set names the split pickle ("in_test"); the index file
+    # defaults to the pipeline's {eval_set}_samples_{segment_size}.json
+    # (preprocess_vctk.sh:15-19 convention). Each eval also emits ONE
+    # converted audio sample from a fixed (source, target) utterance pair
+    # of the eval split so TB shows the model actually converting. Like
+    # summaries/checkpoints, evals land on fused-chunk boundaries — the
+    # first inner_steps multiple at/after each eval_steps multiple.
+    eval_steps: int = 0
+    eval_set: str = ""
+    eval_index_file: str = ""
+    eval_max_batches: int = 20
+    eval_audio: bool = True
+    eval_audio_gl_iters: int = 30
 
 
 class Solver:
@@ -195,6 +210,23 @@ class Solver:
 
     # -- evaluation -------------------------------------------------------
 
+    def _eval_dataset(self, eval_set: str, eval_index_file: str) -> SegmentDataset:
+        """The eval split's SegmentDataset, cached — in-training eval
+        cadence must not re-unpickle the split every eval_steps."""
+        a, c = self.args, self.config
+        key = (eval_set, eval_index_file)
+        cache = getattr(self, "_eval_ds_cache", None)
+        if cache is None:
+            cache = self._eval_ds_cache = {}
+        if key not in cache:
+            cache[key] = SegmentDataset(
+                os.path.join(a.data_dir, f"{eval_set}.pkl"),
+                os.path.join(a.data_dir, eval_index_file),
+                segment_size=c.data_loader.segment_size,
+                storage_dtype=c.data_dtype,
+            )
+        return cache[key]
+
     def evaluate(
         self, eval_set: str, eval_index_file: str, max_batches: int = 20
     ) -> dict:
@@ -203,12 +235,7 @@ class Solver:
         The reference produces these splits but never consumes them
         (SURVEY.md §4); this closes that gap. Returns mean loss terms."""
         a, c = self.args, self.config
-        ds = SegmentDataset(
-            os.path.join(a.data_dir, f"{eval_set}.pkl"),
-            os.path.join(a.data_dir, eval_index_file),
-            segment_size=c.data_loader.segment_size,
-            storage_dtype=c.data_dtype,
-        )
+        ds = self._eval_dataset(eval_set, eval_index_file)
         if not hasattr(self, "_eval_fn"):
             self._eval_fn = make_eval_step(c, self.mesh)
         from ..data.loader import as_wire_format
@@ -229,6 +256,76 @@ class Solver:
             m = {k: float(v) for k, v in m.items()}
             sums = m if sums is None else {k: sums[k] + m[k] for k in m}
         return {k: v / max(n, 1) for k, v in (sums or {}).items()}
+
+    def _eval_hook(self, it: int) -> None:
+        """Periodic in-training evaluation (round-4 verdict item 5): eval
+        losses to TB/JSONL under ``{tag}/ae_eval_{split}`` plus one fixed
+        (source, target) conversion sample per eval so the run's TB shows
+        converted audio, not just curves. Guarded to single-process runs:
+        with multi-process GSPMD the eval/vocode programs here are driven
+        by host 0 only, which would deadlock the collective mesh — pod
+        runs evaluate post-hoc (cli/train.py -eval_set)."""
+        a, c = self.args, self.config
+        if not a.eval_set or jax.process_count() > 1:
+            return
+        idx = a.eval_index_file or (
+            f"{a.eval_set}_samples_{c.data_loader.segment_size}.json"
+        )
+        m = self.evaluate(a.eval_set, idx, max_batches=a.eval_max_batches)
+        self.logger.scalars_summary(f"{a.tag}/ae_eval_{a.eval_set}", m, it)
+        if a.eval_audio:
+            self._emit_audio_sample(it, a.eval_set, idx)
+
+    def _emit_audio_sample(self, it: int, eval_set: str, idx: str) -> None:
+        """Convert one fixed eval-split pair (utterance 0's content to
+        utterance -1's speaker) and log it via audio_summary — the
+        reference's audio_summary was dead code that would NameError
+        (utils.py:25-26); here it is wired into the training loop."""
+        c = self.config
+        if c.model.decoder.c_out != c.signal.n_mels:
+            return  # mel dim mismatch between model and signal config
+        ds = self._eval_dataset(eval_set, idx)
+        if len(ds.utt_ids) < 2:
+            return
+        src = np.asarray(ds.get_utterance(ds.utt_ids[0]), np.float32)
+        tar = np.asarray(ds.get_utterance(ds.utt_ids[-1]), np.float32)
+        if not hasattr(self, "_audio_fns"):
+            from ..dsp.audio import deemphasis_jax
+            from ..dsp.vocoder import griffin_lim_jax, mel_to_mag_jax
+            from ..models.ae import ae_inference
+
+            n_iter = self.args.eval_audio_gl_iters
+
+            def _convert(p, x, xc):
+                dec = ae_inference(p, c.model, x, xc)[0]
+                mag = mel_to_mag_jax(dec, c.signal)
+                return dec, deemphasis_jax(
+                    griffin_lim_jax(mag, c.signal, n_iter=n_iter),
+                    c.signal.preemphasis,
+                )
+
+            self._audio_fns = jax.jit(_convert)
+            attr_path = os.path.join(self.args.data_dir, "attr.pkl")
+            self._audio_attr = None
+            if os.path.exists(attr_path):
+                import pickle
+
+                with open(attr_path, "rb") as f:
+                    self._audio_attr = pickle.load(f)
+        sub = int(np.prod(c.model.content_encoder.subsample))
+        pad = lambda m: np.pad(m, ((0, (-m.shape[0]) % sub), (0, 0)))[None]
+        dec, wav = self._audio_fns(
+            self.params, jnp.asarray(pad(src)), jnp.asarray(tar[None])
+        )
+        if self._audio_attr is not None:
+            dec = np.asarray(dec) * self._audio_attr["std"] + self._audio_attr["mean"]
+        wav = np.asarray(wav, np.float32)
+        peak = np.abs(wav).max()
+        if peak > 0:
+            wav = wav / max(peak, 1.0)  # clip-guard for TB playback
+        self.logger.audio_summary(
+            f"{self.args.tag}/conversion_{eval_set}", wav, it, c.signal.sr
+        )
 
     # -- training ---------------------------------------------------------
 
@@ -322,6 +419,11 @@ class Solver:
                         )
                 if (it // a.save_steps) != ((it - k) // a.save_steps) or it == end:
                     self.save_model(it - 1)
+                if a.eval_steps and (
+                    (it // a.eval_steps) != ((it - k) // a.eval_steps)
+                    or it == end
+                ):
+                    self._eval_hook(it - 1)
             dev = next_fut.result() if next_fut is not None else dev
         pool.shutdown(wait=False)
         self.iteration = end
@@ -394,6 +496,10 @@ class Solver:
                     )
             if (it // a.save_steps) != ((it - k) // a.save_steps) or it == end:
                 self.save_model(it - 1)
+            if a.eval_steps and (
+                (it // a.eval_steps) != ((it - k) // a.eval_steps) or it == end
+            ):
+                self._eval_hook(it - 1)
         self.iteration = end
         if hasattr(self, "_mngr"):
             self._mngr.wait()
@@ -455,6 +561,11 @@ class Solver:
                     )
             if (it + 1) % a.save_steps == 0 or it + 1 == self.iteration + n_iterations:
                 self.save_model(it)
+            if a.eval_steps and (
+                (it + 1) % a.eval_steps == 0
+                or it + 1 == self.iteration + n_iterations
+            ):
+                self._eval_hook(it)
         self.iteration += n_iterations
         if hasattr(self, "_mngr"):
             self._mngr.wait()

@@ -105,6 +105,62 @@ def test_solver_checkpoint_resume_is_deterministic(data_dir):
     np.testing.assert_allclose(m_res["loss"], m_cont["loss"], rtol=1e-5)
 
 
+def test_in_training_eval_and_audio(data_dir, tmp_path):
+    """In-training eval cadence (round-4 verdict item 5) against
+    PIPELINE-PRODUCED eval artifacts: the in_test split pickle + the
+    {split}_samples_{seg}.json index written by the actual
+    tools.sample_single_segments CLI (the preprocess_vctk.sh:15-19 naming
+    the solver's default convention must match), eval series in
+    metrics.jsonl, and one converted audio sample per eval."""
+    import dataclasses
+
+    from adaptive_voice_conversion_tpu.core.config import SignalConfig
+    from adaptive_voice_conversion_tpu.tools import sample_single_segments
+
+    rng = np.random.default_rng(1)
+    eval_data = {
+        f"e{i}": rng.standard_normal((48 + 8 * i, N_MELS)).astype(np.float32)
+        for i in range(3)
+    }
+    with open(data_dir / "in_test.pkl", "wb") as f:
+        pickle.dump(eval_data, f)
+    # the real pipeline stage-3 tool writes the index (and its name is the
+    # solver's default: {eval_set}_samples_{segment_size}.json)
+    sample_single_segments.main([
+        str(data_dir / "in_test.pkl"),
+        str(data_dir / "in_test_samples_16.json"),
+        "40", "16",
+    ])
+    # a signal config consistent with the tiny model so the audio sample's
+    # vocode path runs (mel dim must match the decoder output)
+    cfg = dataclasses.replace(
+        TINY,
+        signal=SignalConfig(
+            sr=8000, n_fft=256, hop_length=64, win_length=192, n_mels=N_MELS,
+            n_iter=2,
+        ),
+        # eval fires on fused-chunk boundaries (like summaries/ckpts), so
+        # align inner_steps with the cadence to get one eval per 5 steps
+        inner_steps=5,
+    )
+    args = make_args(data_dir, eval_steps=5, eval_set="in_test")
+    args.eval_audio_gl_iters = 2
+    solver = Solver(cfg, args)
+    solver.train(10, log_every_print=False)
+
+    lines = [json.loads(l) for l in open(data_dir / "log" / "metrics.jsonl")]
+    eval_rows = [l for l in lines if any("ae_eval_in_test" in k for k in l)]
+    assert len(eval_rows) >= 2, "expected an eval row per eval_steps crossing"
+    assert all(
+        np.isfinite(v)
+        for l in eval_rows for k, v in l.items() if "loss" in k
+    )
+    audio_rows = [l for l in lines if any("audio_n_samples" in k for k in l)]
+    assert audio_rows, "expected an audio_summary emission per eval"
+    n = [v for k, v in audio_rows[0].items() if "audio_n_samples" in k][0]
+    assert n > 1000  # a real waveform, not an empty stub
+
+
 def test_solver_zero_iterations(data_dir):
     """train(0) must not crash (reference main.py:31 gates on iters > 0 —
     we handle it gracefully instead)."""
