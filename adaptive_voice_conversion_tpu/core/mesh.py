@@ -94,6 +94,27 @@ def put_global(
     return jax.make_array_from_process_local_data(sh, local_data)
 
 
+def put_global_from_full(
+    full: np.ndarray, mesh: Mesh, spec: P = P(DATA_AXIS)
+) -> jax.Array:
+    """Place an array that EVERY process holds in full onto a (possibly
+    multi-process) mesh sharding.
+
+    The serving-side complement of ``put_global``: in multi-controller
+    serving each host sees the same request (the same padded pair batch),
+    so rather than pre-slicing per-process blocks, each process hands the
+    full array and ``make_array_from_process_local_data`` (with
+    ``global_shape=full.shape``) takes the slices its addressable devices
+    own. Single-process reduces to a plain sharded ``device_put``.
+    """
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(full, sh)
+    return jax.make_array_from_process_local_data(
+        sh, full, global_shape=full.shape
+    )
+
+
 def replicate_pytree(tree, mesh: Mesh):
     """Replicate a host/device pytree onto every device of a (possibly
     multi-process) mesh. Leaves are routed through host numpy so the call

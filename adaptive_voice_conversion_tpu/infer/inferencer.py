@@ -82,22 +82,29 @@ class Inferencer:
                 f"'highest' (jax matmul precision names)"
             )
         self.precision = None if precision == "default" else precision
+        self._multiprocess = False
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            if jax.process_count() > 1:
-                raise NotImplementedError(
-                    "Inferencer(mesh=...) supports single-controller meshes "
-                    "(one process driving N local chips). Multi-process "
-                    "serving would need per-process input assembly "
-                    "(core.mesh.put_global) and addressable-shard gathers; "
-                    "shard requests across processes at the application "
-                    "level instead."
-                )
             repl = NamedSharding(mesh, P())
             self._repl = repl
             self._batch_sh = NamedSharding(mesh, P("data"))
-            params = jax.device_put(params, repl)
+            self._multiprocess = jax.process_count() > 1
+            if self._multiprocess:
+                # multi-controller serving: every process runs this same
+                # code on the same request and contributes its devices'
+                # shard of the pair batch (core.mesh.put_global_from_full);
+                # outputs reshard to replicated (one ICI all-gather) so
+                # every host reads the full result. Params replicate the
+                # multi-controller-legal way.
+                from ..core.mesh import replicate_pytree
+
+                params = replicate_pytree(params, mesh)
+                self._jit_to_replicated = jax.jit(
+                    lambda t: t, out_shardings=repl
+                )
+            else:
+                params = jax.device_put(params, repl)
         self.params = params
         self.use_tpu_vocoder = use_tpu_vocoder
         # "pallas": opt-in fused Griffin-Lim kernel (dsp/vocoder.py
@@ -399,7 +406,13 @@ class Inferencer:
                     [np.asarray(a)] + [np.asarray(a)[:1]] * pad_rows, axis=0
                 )
                 src_b, tar_b, sl_b, tl_b = map(rep, (src_b, tar_b, sl_b, tl_b))
-            put = lambda a: jax.device_put(np.asarray(a), self._batch_sh)
+            from jax.sharding import PartitionSpec as P
+
+            from ..core.mesh import put_global_from_full
+
+            put = lambda a: put_global_from_full(
+                np.asarray(a), self.mesh, P("data")
+            )
             src_b, tar_b, sl_b, tl_b = map(put, (src_b, tar_b, sl_b, tl_b))
         else:
             src_b, tar_b = jnp.asarray(src_b), jnp.asarray(tar_b)
@@ -412,7 +425,15 @@ class Inferencer:
             dec_dev, dec_lens = self._get_masked_jit()(
                 self.params, src_b, sl_b, tar_b, tl_b
             )
-        wavs = np.asarray(vocode(dec_dev, dec_lens))
+        wavs_dev = vocode(dec_dev, dec_lens)
+        if self._multiprocess:
+            # reshard the data-sharded outputs to replicated (ICI
+            # all-gather) so every process's host fetch sees all pairs
+            wavs_dev = self._jit_to_replicated(wavs_dev)
+            if return_mels:
+                dec_dev = self._jit_to_replicated(dec_dev)
+                dec_lens = self._jit_to_replicated(dec_lens)
+        wavs = np.asarray(wavs_dev)
         out = []
         for k in range(n):
             n_samp = cfg.hop_length * (int(crop_lens[k]) - 1)

@@ -42,6 +42,60 @@ def solver_config(mode: str):
     raise ValueError(mode)
 
 
+def serve_checksums(mesh):
+    """Distributed grid serving on a tiny model: 2x3 mixed-length grid
+    through Inferencer(mesh=...) -> per-pair wav/mel abs-sums. Called by
+    the worker under 2-process jax.distributed AND by the parent test on a
+    single-process mesh of the same data-axis width — the request, weights,
+    and programs are identical, so the outputs must agree."""
+    import dataclasses
+    import pickle
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from adaptive_voice_conversion_tpu.core.config import SignalConfig
+    from adaptive_voice_conversion_tpu.infer.inferencer import Inferencer
+    from adaptive_voice_conversion_tpu.models.ae import init_ae
+    from test_train import TINY
+
+    cfg = dataclasses.replace(
+        TINY,
+        signal=SignalConfig(
+            sr=8000, n_fft=256, hop_length=64, win_length=192,
+            n_mels=TINY.model.decoder.c_out, n_iter=2,
+        ),
+    )
+    params = jax.tree.map(
+        np.asarray, init_ae(jax.random.PRNGKey(0), cfg.model)
+    )
+    n_mels = cfg.signal.n_mels
+    attr = {
+        "mean": np.zeros(n_mels, np.float32),
+        "std": np.ones(n_mels, np.float32),
+    }
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+        pickle.dump(attr, f)
+        attr_path = f.name
+    inf = Inferencer(cfg, params, attr_path, mesh=mesh)
+    rng = np.random.default_rng(3)
+    srcs = [
+        rng.standard_normal((t, n_mels)).astype(np.float32) for t in (40, 24)
+    ]
+    tgts = [
+        rng.standard_normal((t, n_mels)).astype(np.float32)
+        for t in (32, 20, 28)
+    ]
+    wavs, mels = inf.convert_grid(
+        srcs, tgts, gl_iters=2, trim=False, return_mels=True
+    )
+    return (
+        [float(np.abs(w).sum()) for w in wavs],
+        [float(np.abs(m).sum()) for m in mels],
+    )
+
+
 def param_checksum(params) -> float:
     import jax
     import numpy as np
@@ -80,6 +134,20 @@ def main() -> None:
         process_id=pid,
     )
     assert jax.process_count() == nproc
+
+    if mode == "serve":
+        # multi-process distributed serving (round-4 verdict item 7)
+        wav_sums, mel_sums = serve_checksums(
+            make_mesh(n_data=len(jax.devices()))
+        )
+        print(
+            "SERVE "
+            + " ".join(repr(v) for v in wav_sums)
+            + " | "
+            + " ".join(repr(v) for v in mel_sums),
+            flush=True,
+        )
+        return
 
     from adaptive_voice_conversion_tpu.train.solver import Solver, SolverArgs
 

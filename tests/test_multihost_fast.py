@@ -80,6 +80,12 @@ def _run_pair(mode: str, artifacts: str, run_dir: str) -> list:
                 out["loss"] = [float(v) for v in line.split()[1:]]
             elif line.startswith("PSUM "):
                 out["psum"] = float(line.split()[1])
+            elif line.startswith("SERVE "):
+                wav_part, mel_part = line[len("SERVE "):].split(" | ")
+                out["serve"] = (
+                    [float(v) for v in wav_part.split()],
+                    [float(v) for v in mel_part.split()],
+                )
             elif line.startswith("H2D_ROWS "):
                 out["h2d_rows"], out["chunk_rows"] = (
                     int(line.split()[1]),
@@ -142,6 +148,36 @@ def test_two_process_fast_path_matches_single_process(
     # single-process program -> allow float-accumulation-level slack
     np.testing.assert_allclose(
         outs[0]["psum"], param_checksum(solver.params), rtol=1e-7
+    )
+
+
+def test_two_process_distributed_serving_matches_single_process(
+    artifacts, tmp_path
+):
+    """Multi-process serving (round-4 verdict item 7): a 2x3 mixed-length
+    grid through Inferencer(mesh=...) under 2-process jax.distributed —
+    each process contributes its devices' shard of the pair batch
+    (put_global_from_full) and reads the FULL result after the replicating
+    all-gather — must match the single-process mesh serving per pair."""
+    outs = _run_pair("serve", artifacts, str(tmp_path))
+    # both processes see identical, complete results
+    assert outs[0]["serve"] == outs[1]["serve"]
+    assert len(outs[0]["serve"][0]) == 6  # all 2*3 pairs on every host
+
+    import jax
+
+    from adaptive_voice_conversion_tpu.core.mesh import make_mesh
+    from multihost_fast_worker import serve_checksums
+
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    wav_sums, mel_sums = serve_checksums(mesh)
+    np.testing.assert_allclose(
+        outs[0]["serve"][1], mel_sums, rtol=2e-5, atol=1e-6
+    )
+    # Griffin-Lim amplifies any representation-level noise; sums of |wav|
+    # are aggregate enough that the pinned mel agreement bounds them
+    np.testing.assert_allclose(
+        outs[0]["serve"][0], wav_sums, rtol=1e-4
     )
 
 
