@@ -1,24 +1,26 @@
-"""Generate golden DSP fixtures with REAL librosa (run where librosa exists).
+"""Generate golden DSP fixtures pinning the reference's librosa chain.
 
 The reference's featurizer is librosa-based (reference:
 preprocess/tacotron/utils.py:27-111); this repo reimplements the math
-librosa-free. This script pins that reimplementation to librosa itself:
-run it in any environment with librosa installed --
+librosa-free. This script pins that reimplementation:
 
     python tests/golden/generate_librosa_golden.py
 
--- and commit the resulting ``librosa_golden.npz``. tests/test_golden.py
-picks the file up automatically and asserts:
+writes ``librosa_golden.npz``; tests/test_golden.py picks the file up
+automatically and asserts:
   - hann window == librosa.filters.get_window('hann', 1200) centered pad
   - mel filterbank == librosa.filters.mel(sr=24000, n_fft=2048, n_mels=512)
   - stft magnitude == |librosa.stft(...)| on the fixed wav
   - trim indices == librosa.effects.trim(top_db=15)
   - the full get_spectrograms (mel, mag) outputs
 
-The wav is generated deterministically below (no binary inputs needed).
-This environment has no librosa and no network, so the file is absent
-here; the torch/scipy anchors in test_golden.py run unconditionally
-instead.
+PROVENANCE: with real librosa installed the fixture is generated from it
+(preferred — regenerate whenever possible). This image has no librosa and
+no network, so the committed fixture was generated from
+``librosa_mini.py``, a vendored transcription of the exact librosa
+algorithms (see its module docstring for what is transcribed vs delegated
+verbatim to scipy). The npz's ``generator`` field records which produced
+it; the wav is generated deterministically below either way.
 """
 
 import os
@@ -54,20 +56,44 @@ def fixed_wave() -> np.ndarray:
 
 
 def main() -> None:
-    import librosa
-    import scipy.signal as sps
+    try:
+        import librosa
+
+        def _mel(sr, n_fft, n_mels):
+            return librosa.filters.mel(sr=sr, n_fft=n_fft, n_mels=n_mels)
+
+        def _window(win):
+            return librosa.filters.get_window("hann", win, fftbins=True)
+
+        def _trim(y, top_db):
+            return librosa.effects.trim(y, top_db=top_db)
+
+        def _stft(y, n_fft, hop, win):
+            return librosa.stft(y, n_fft=n_fft, hop_length=hop, win_length=win)
+
+        generator = f"librosa {librosa.__version__}"
+    except ImportError:
+        # vendored-algorithm fallback (module docstring of librosa_mini.py
+        # for provenance) — regenerate with real librosa when available
+        import librosa_mini
+
+        _mel = librosa_mini.mel_filters
+        _window = librosa_mini.get_window
+        _trim = librosa_mini.trim
+        _stft = librosa_mini.stft
+        generator = "librosa_mini (vendored algorithm transcription; no librosa in image)"
 
     y = fixed_wave()
-    out = {"wave": y, "librosa_version": np.str_(librosa.__version__)}
+    out = {"wave": y, "generator": np.str_(generator)}
 
-    out["hann_win"] = librosa.filters.get_window("hann", WIN, fftbins=True)
-    out["mel_basis"] = librosa.filters.mel(sr=SR, n_fft=N_FFT, n_mels=N_MELS)
+    out["hann_win"] = _window(WIN)
+    out["mel_basis"] = _mel(SR, N_FFT, N_MELS)
 
-    yt, idx = librosa.effects.trim(y, top_db=TOP_DB)
+    yt, idx = _trim(y, TOP_DB)
     out["trim_start"], out["trim_end"] = np.int64(idx[0]), np.int64(idx[1])
 
     yp = np.append(yt[0], yt[1:] - PREEMPH * yt[:-1])
-    lin = librosa.stft(yp, n_fft=N_FFT, hop_length=HOP, win_length=WIN)
+    lin = _stft(yp, N_FFT, HOP, WIN)
     mag = np.abs(lin)
     out["stft_mag"] = mag.astype(np.float32)
 
