@@ -141,8 +141,12 @@ class TrainConfig:
     chunk_bytes: int = 0  # chunked mode chunk size; 0 = budget // 3
     # steps per chunk visit multiplier: divides the H2D bandwidth the >HBM
     # stream needs by the same factor at the cost of coarser shuffle
-    # granularity (data/chunked.py transfer-bound derivation)
-    chunk_repeats: int = 1
+    # granularity (data/chunked.py transfer-bound derivation). "auto"
+    # measures the link and the step at training start and picks the
+    # smallest power of two that keeps the stream compute-bound with 2x
+    # margin (ChunkedDeviceStreamer.choose_repeats); the resolved value is
+    # persisted in checkpoints so resume replays the identical schedule.
+    chunk_repeats: object = 1  # int >= 1, or "auto"
     inner_steps: int = 10  # train steps fused per XLA call in device mode
     # optimizer moment storage: "float32" (torch-bit-exact parity mode) or
     # "bfloat16" (halves Adam-state HBM traffic; f32 master params kept)
@@ -184,6 +188,23 @@ def _parse_opt_fused(v):
     )
 
 
+def _parse_chunk_repeats(v):
+    """int >= 1 or the literal "auto" — fail at load time with the key
+    named (same policy as _parse_opt_fused)."""
+    if isinstance(v, str):
+        if v == "auto":
+            return v
+        raise ValueError(
+            f"config chunk_repeats={v!r}: expected an int >= 1 or 'auto'"
+        )
+    iv = int(v)
+    if iv < 1:
+        raise ValueError(
+            f"config chunk_repeats={v!r}: expected an int >= 1 or 'auto'"
+        )
+    return iv
+
+
 def config_from_dict(raw: dict) -> TrainConfig:
     """Build a TrainConfig from a reference-format config dict.
 
@@ -218,7 +239,7 @@ def config_from_dict(raw: dict) -> TrainConfig:
             raw.get("device_data_budget_bytes", 6_000_000_000)
         ),
         chunk_bytes=int(raw.get("chunk_bytes", 0)),
-        chunk_repeats=int(raw.get("chunk_repeats", 1)),
+        chunk_repeats=_parse_chunk_repeats(raw.get("chunk_repeats", 1)),
         inner_steps=int(raw.get("inner_steps", 10)),
         opt_state_dtype=str(raw.get("opt_state_dtype", "float32")),
         opt_fused=_parse_opt_fused(raw.get("opt_fused", False)),

@@ -144,8 +144,11 @@ class Solver:
                 inner_steps=c.inner_steps,
                 seed=a.seed,
                 mesh=self.mesh,
-                repeats=c.chunk_repeats,
+                # "auto" resolves from measured link/step rates at training
+                # start (_resolve_chunk_repeats); placeholder 1 until then
+                repeats=1 if c.chunk_repeats == "auto" else c.chunk_repeats,
             )
+        self._chunk_repeats_resolved = None
 
     def _build_model(self):
         c = self.config
@@ -189,12 +192,11 @@ class Solver:
     def save_model(self, iteration: int):
         if not hasattr(self, "_mngr"):
             self._mngr = self._ckpt_mngr(self.args.store_model_path)
-        self._mngr.save(
-            iteration + 1,
-            self.params,
-            self.opt_state,
-            {"iteration": iteration + 1, "seed": self.args.seed},
-        )
+        extra = {"iteration": iteration + 1, "seed": self.args.seed}
+        if self._chunk_repeats_resolved is not None:
+            # resume must replay the auto-resolved chunk schedule exactly
+            extra["chunk_repeats"] = int(self._chunk_repeats_resolved)
+        self._mngr.save(iteration + 1, self.params, self.opt_state, extra)
 
     def load_model(self):
         path = self.args.load_model_path or self.args.store_model_path
@@ -206,6 +208,8 @@ class Solver:
             step, self.params, self.opt_state
         )
         self.iteration = int(extra["iteration"])
+        if "chunk_repeats" in extra:
+            self._chunk_repeats_resolved = int(extra["chunk_repeats"])
         mngr.close()
 
     # -- evaluation -------------------------------------------------------
@@ -348,12 +352,73 @@ class Solver:
             / max(time.time() - t_start, 1e-9),
         }
 
+    def _resolve_chunk_repeats(self) -> None:
+        """chunk_repeats="auto": measure the actual H2D link rate (timing
+        the first chunk's transfer) and the actual fused-step time (one
+        compiled multi-step on that chunk, probe results discarded), then
+        pick the smallest power-of-two repeats that keeps the stream
+        compute-bound with 2x margin (data/chunked.py choose_repeats).
+        The resolved value is persisted in checkpoints — the visit
+        schedule is a pure function of (seed, epoch, repeats), so resume
+        must replay the identical choice, not re-measure."""
+        import time as _time
+
+        c, a = self.config, self.args
+        if self.chunked is None or c.chunk_repeats != "auto":
+            return
+        if self._chunk_repeats_resolved is not None:
+            self.chunked.set_repeats(self._chunk_repeats_resolved)
+            return
+        t0 = _time.time()
+        packed, starts, n_starts = self.chunked.put_chunk(0)
+        jax.block_until_ready(packed)
+        bw = self.chunked.chunk_nbytes() / max(_time.time() - t0, 1e-9)
+        base_key = np.asarray(jax.random.PRNGKey(a.seed + 1))
+        # compile + one timed call ON COPIES — the fused step donates its
+        # params/opt buffers, and the probe must leave training state
+        # untouched (training then runs step 0 with the same pure
+        # (key, it) schedule, so the measurement costs nothing semantic)
+        p_probe = jax.tree.map(lambda x: x.copy(), self.params)
+        o_probe = jax.tree.map(lambda x: x.copy(), self.opt_state)
+        p_probe, o_probe, ms = self.multi_step_fn(
+            p_probe, o_probe, packed, starts,
+            np.int32(n_starts), base_key, np.int32(0),
+        )
+        np.asarray(ms)
+        t0 = _time.time()
+        p_probe, o_probe, ms = self.multi_step_fn(
+            p_probe, o_probe, packed, starts,
+            np.int32(n_starts), base_key, np.int32(0),
+        )
+        np.asarray(ms)
+        t_step = (_time.time() - t0) / c.inner_steps
+        del p_probe, o_probe
+        r = self.chunked.choose_repeats(t_step, bw)
+        if jax.process_count() > 1:
+            # every process must adopt the SAME schedule: take the most
+            # conservative (highest) choice across hosts
+            from jax.experimental import multihost_utils
+
+            r = int(
+                np.max(multihost_utils.process_allgather(np.int32(r)))
+            )
+        self._chunk_repeats_resolved = r
+        self.chunked.set_repeats(r)
+        if jax.process_index() == 0:
+            print(
+                f"chunk_repeats=auto -> {r} (H2D {bw / 1e6:.1f} MB/s, "
+                f"step {t_step * 1e3:.2f} ms, need "
+                f"{self.chunked.required_bandwidth(t_step) / 1e6:.1f} MB/s)",
+                flush=True,
+            )
+
     def _train_chunked(self, n_iterations: int, log_every_print: bool) -> dict:
         """>HBM datasets: double-buffered chunk streaming (data/chunked.py).
         The next chunk's H2D transfer is dispatched before the fused
         multi-step programs run on the resident chunk, so transfer and
         compute overlap; one compiled program serves every chunk."""
         c, a = self.config, self.args
+        self._resolve_chunk_repeats()
         K = c.inner_steps
         base_key = np.asarray(jax.random.PRNGKey(a.seed + 1))
         audio_s_per_batch = (

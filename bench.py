@@ -310,20 +310,43 @@ def main() -> None:
     h2d_mb_s = probe_bytes / (time.time() - t0) / 1e6
     _note(f"H2D tunnel probe: {h2d_mb_s:.1f} MB/s")
 
-    # 700 steps crosses at least one visit boundary for BOTH modes (visits
-    # are ~260 steps at repeats=1, ~520 at repeats=2), so every trial
-    # includes the end-of-visit fut.result() that a stalled transfer would
-    # block on — shorter trials flattered repeats=2 by never waiting
+    # Bandwidth-ADAPTIVE repeats (round-4 verdict item 2): pick the
+    # smallest power-of-two repeats whose required bandwidth sits under
+    # the probed link rate with 2x margin — the same choose_repeats the
+    # solver's chunk_repeats="auto" uses, fed the measured headline step
+    # time. The chunked HEADLINE row is the auto choice's median, so the
+    # committed artifact reflects whatever tunnel weather the run caught
+    # instead of quoting a fixed-repeats number that a slow hour starves.
+    probe_streamer = ChunkedDeviceStreamer(
+        _Shim(), chunk_bytes=64 << 20, batch_size=c.batch_size,
+        inner_steps=INNER_STEPS, seed=0,
+    )
+    auto_r = probe_streamer.choose_repeats(device_dt, h2d_mb_s * 1e6)
+    bw_need = {
+        f"repeats{r}": round(
+            probe_streamer.required_bandwidth(device_dt, r) / 1e6, 1
+        )
+        for r in (1, 2, 4, 8)
+    }
+    _note(f"auto repeats choice: {auto_r} (need {bw_need} MB/s vs "
+          f"{h2d_mb_s:.1f} measured)")
+
+    # 700 steps crosses at least one visit boundary for all modes (visits
+    # are ~260 steps at repeats=1), so every trial includes the
+    # end-of-visit fut.result() that a stalled transfer would block on —
+    # shorter trials flattered high repeats by never waiting. Modes are
+    # INTERLEAVED so each sees the same tunnel weather; medians decide.
     trial_steps = 60 if smoke else 700
-    r1_trials, r2_trials = [], []
-    for _ in range(1 if smoke else 3):
-        r1_trials.append(run_chunked(1, trial_steps))
-        r2_trials.append(run_chunked(2, trial_steps))
-    chunked_dt = float(np.median(r1_trials))
-    chunked2_dt = float(np.median(r2_trials))
+    repeat_modes = (1, 2) if smoke else (1, 2, 4, 8)
+    trials = {r: [] for r in repeat_modes}
+    for _ in range(1 if smoke else 2):
+        for r in repeat_modes:
+            trials[r].append(run_chunked(r, trial_steps))
+    med_dt = {r: float(np.median(ts)) for r, ts in trials.items()}
+    auto_r_eff = auto_r if auto_r in med_dt else max(repeat_modes)
+    chunked_dt = med_dt[auto_r_eff]
     del big_packed
     chunked_value = audio_s_per_batch / chunked_dt
-    chunked2_value = audio_s_per_batch / chunked2_dt
 
     # --- fallback path: host-streamed batches (per-batch H2D) ---
     init_fn_h, step = make_train_step(cfg)
@@ -357,15 +380,25 @@ def main() -> None:
         "vs_baseline": round(value / TORCH_CPU_BASELINE_AUDIO_S_PER_S, 1),
         "chunked_2xHBM_audio_s_per_s": round(chunked_value, 1),
         "chunked_vs_headline": round(chunked_value / value, 3),
-        "chunked_repeats2_audio_s_per_s": round(chunked2_value, 1),
-        "chunked_repeats2_vs_headline": round(chunked2_value / value, 3),
-        "chunked_timing": "interleaved r1/r2 trials, median per mode",
+        "chunked_auto_repeats": auto_r_eff,
+        "chunked_per_repeats_audio_s_per_s": {
+            f"repeats{r}": round(audio_s_per_batch / dt, 1)
+            for r, dt in med_dt.items()
+        },
+        "chunked_per_repeats_vs_headline": {
+            f"repeats{r}": round(audio_s_per_batch / dt / value, 3)
+            for r, dt in med_dt.items()
+        },
+        "chunked_timing": (
+            "interleaved trials over repeats modes, median per mode; "
+            "headline chunked row = the bandwidth-adaptive auto choice"
+        ),
         "chunked_trial_step_ms": {
-            "repeats1": [round(t * 1e3, 2) for t in r1_trials],
-            "repeats2": [round(t * 1e3, 2) for t in r2_trials],
+            f"repeats{r}": [round(t * 1e3, 2) for t in ts]
+            for r, ts in trials.items()
         },
         "h2d_tunnel_mb_per_s": round(h2d_mb_s, 1),
-        "chunked_bw_need_mb_per_s": {"repeats1": 26, "repeats2": 13},
+        "chunked_bw_need_mb_per_s": bw_need,
         "host_stream_audio_s_per_s": round(audio_s_per_batch / host_dt, 1),
         "step_ms_device_resident": round(device_dt * 1000, 2),
         "step_ms_chunked": round(chunked_dt * 1000, 2),

@@ -246,6 +246,79 @@ def test_solver_chunked_trains_and_resumes(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_choose_repeats_bandwidth_math(dataset):
+    """choose_repeats: smallest power-of-two whose required bandwidth
+    (corpus_bytes / (r * epoch_steps * t_step)) fits under bw/margin."""
+    ds, _, _, seg = dataset
+    st = ChunkedDeviceStreamer(ds, 200 * 8 * 4, batch_size=4, inner_steps=2)
+    t_step = 1e-3
+    need1 = st.required_bandwidth(t_step, 1)
+    assert need1 == pytest.approx(
+        st.n_chunks * st.chunk_nbytes() / (st.epoch_steps * t_step)
+    )
+    assert st.required_bandwidth(t_step, 4) == pytest.approx(need1 / 4)
+    # ample link -> no coarsening
+    assert st.choose_repeats(t_step, bw_bytes_per_s=need1 * 10) == 1
+    # link at exactly need1: margin 2 forces repeats=2
+    assert st.choose_repeats(t_step, bw_bytes_per_s=need1) == 2
+    # starved link caps at max_repeats
+    assert st.choose_repeats(t_step, bw_bytes_per_s=need1 / 100) == 16
+    # set_repeats feeds the schedule
+    st.set_repeats(4)
+    assert st.repeats == 4
+
+
+def test_solver_auto_chunk_repeats_resolves_and_persists(tmp_path):
+    """chunk_repeats='auto' resolves to a concrete int before scheduling,
+    persists through checkpoints, and resume REPLAYS the stored value
+    (the visit plan depends on it) rather than re-measuring."""
+    from adaptive_voice_conversion_tpu.train.solver import Solver, SolverArgs
+    from test_e2e import TINY as E2E_TINY, N_MELS
+
+    rng = np.random.default_rng(0)
+    data, index = {}, []
+    for i in range(12):
+        n = 60 + 8 * i
+        data[f"u{i}"] = rng.standard_normal((n, N_MELS)).astype(np.float32)
+        for _ in range(40):
+            index.append([f"u{i}", int(rng.integers(0, n - 16))])
+    with open(tmp_path / "train_128.pkl", "wb") as f:
+        pickle.dump(data, f)
+    with open(tmp_path / "train_samples_128.json", "w") as f:
+        json.dump(index, f)
+    cfg = dataclasses.replace(
+        E2E_TINY,
+        input_mode="chunked",
+        chunk_bytes=200 * N_MELS * 4,
+        chunk_repeats="auto",
+        inner_steps=4,
+    )
+    args = SolverArgs(
+        data_dir=str(tmp_path),
+        train_set="train_128",
+        train_index_file="train_samples_128.json",
+        logdir=str(tmp_path / "log"),
+        store_model_path=str(tmp_path / "model"),
+        summary_steps=5,
+        save_steps=8,
+    )
+    s = Solver(cfg, args)
+    s.train(8, log_every_print=False)
+    r = s._chunk_repeats_resolved
+    assert isinstance(r, int) and r >= 1
+    assert s.chunked.repeats == r
+    # resume restores the resolved value from the checkpoint
+    args2 = dataclasses.replace(
+        args, load_model=True, logdir=str(tmp_path / "log2"),
+        store_model_path=str(tmp_path / "model2"),
+        load_model_path=str(tmp_path / "model"),
+    )
+    s2 = Solver(cfg, args2)
+    assert s2._chunk_repeats_resolved == r
+    s2.train(4, log_every_print=False)
+    assert s2.chunked.repeats == r
+
+
 def test_solver_auto_picks_chunked_when_over_budget(tmp_path):
     from adaptive_voice_conversion_tpu.train.solver import Solver
     from test_e2e import TINY as E2E_TINY, N_MELS
