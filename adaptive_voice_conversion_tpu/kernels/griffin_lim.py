@@ -12,8 +12,8 @@ Formulation (frame-space, no signal materialization):
 - irfft is a DFT matmul over the window SUPPORT: the synthesis frame is
   ``w * irfft(X)``, and the Hann window (win 1200 centered in n_fft 2048)
   zeroes all but s_pad=1280 samples, so the synthesis matrices are
-  (s_pad, F_pad) — the same support truncation the STFT-mel kernel proved
-  (kernels/stft_mel.py).
+  (s_pad, F_pad) — the same support truncation the (since-retired)
+  STFT-mel kernel proved in round 2 (KERNELS_r05.json history).
 - The ISTFT -> frame round trip is, in the signal INTERIOR, a banded linear
   map across neighboring frames: sample n of analysis frame t receives
   synthesis frames t+d at sample n - d*hop for d in [-4, 4] (|d*hop| <

@@ -33,17 +33,13 @@ def featurize_paths(
     use_tpu: bool = False,
     tpu_batch: int = 16,
     log_every: int = 500,
-    use_kernel: Optional[bool] = None,
 ) -> Dict[str, np.ndarray]:
     """path -> mel (T, n_mels) for every wav, keyed by basename.
 
-    ``use_kernel`` selects the fused Pallas STFT-mel kernel for the TPU
-    path (kernels/stft_mel.py); defaults to OFF (round-4 re-qualification:
-    with median-of-7 compute-only timing the XLA-rfft path is FASTER —
-    frames-level 3.54 vs 3.82 ms, end-to-end 3.61 vs 3.84 ms for 60 s of
-    audio; the round-2 "1.12x kernel win" was an artifact of timing the
-    full result fetch through the variable-rate axon tunnel, see
-    KERNELS_r04.json). The kernel stays available for A/B measurement."""
+    The TPU path runs the XLA-rfft featurizer (dsp.mel_from_wave_jax). A
+    fused Pallas STFT-mel kernel was A/B'd against it through rounds 2-5
+    and retired as a recorded negative — it plateaued at 0.92x of XLA on
+    clean device-resident medians (KERNELS_r05.json, COMPONENTS.md)."""
     out: Dict[str, np.ndarray] = {}
     if not use_tpu:
         for i, path in enumerate(paths):
@@ -59,14 +55,7 @@ def featurize_paths(
     import jax
     import jax.numpy as jnp
 
-    if use_kernel is None:
-        use_kernel = False  # XLA-rfft path wins on clean medians (r04)
-    if use_kernel:
-        from ..kernels.stft_mel import mel_from_wave_pallas_batch
-
-        feat = jax.jit(lambda w: mel_from_wave_pallas_batch(w, cfg))
-    else:
-        feat = jax.jit(lambda w: mel_from_wave_jax(w, cfg)[0])
+    feat = jax.jit(lambda w: mel_from_wave_jax(w, cfg)[0])
     # bucket by padded length to bound recompiles; frame counts are computed
     # per true length and padded frames dropped
     waves: List[Tuple[str, np.ndarray]] = []

@@ -91,6 +91,24 @@ def run_gate(ckpt: str | None = None, seed: int = 7, atol: float = 1e-4) -> dict
         diffs[f"{name}_max_abs"] = float(np.abs(got - ref).max())
         diffs[f"{name}_mae"] = float(np.abs(got - ref).mean())
 
+    # Realistic mel-statistics inputs (z-normalized structured segments):
+    # with TRAINED weights this drives the saturated INs / AdaIN affines
+    # through their operating range, which random-normal probes do not.
+    from .loss_trajectory import synthetic_segments
+
+    pool = synthetic_segments(4, 200, 512, seed=11)
+    pool = (pool - pool.mean()) / max(pool.std(), 1e-6)
+    with torch.no_grad():
+        ref = ae.inference(
+            torch.from_numpy(pool[:2].transpose(0, 2, 1)),
+            torch.from_numpy(pool[2:].transpose(0, 2, 1)),
+        ).numpy()
+    got = np.asarray(
+        ae_inference(params, cfg, jnp.asarray(pool[:2]), jnp.asarray(pool[2:]))
+    ).transpose(0, 2, 1)
+    diffs["mel_realistic_max_abs"] = float(np.abs(got - ref).max())
+    diffs["mel_realistic_mae"] = float(np.abs(got - ref).mean())
+
     return {
         "gate": "converted-mel allclose vs actual reference model.py",
         "weights": ckpt if ckpt else f"reference-default-init(seed={seed})",

@@ -1,4 +1,4 @@
-"""Kernel benchmark: Pallas fused STFT-mel + fused Griffin-Lim vs XLA.
+"""Kernel benchmark: fused Pallas Griffin-Lim vs XLA + the featurizer.
 
 Runs the implementations compiled on the current backend (the real chip
 under axon; CPU if no TPU) over identical inputs, verifies they agree,
@@ -12,11 +12,14 @@ timed blocks and reports median + IQR, and the kernel-vs-XLA defaults are
 decided on the medians).
 
 Measurements:
-  1. frames-level STFT-mel: stft_mel_pallas vs equivalent XLA ops on
-     pre-framed input — isolates the fused kernel from framing/padding.
-  2. end-to-end wave->mel: mel_from_wave_pallas vs mel_from_wave_jax
-     (what tools/etl.py --tpu actually calls).
-  3. Griffin-Lim: the fused VMEM-resident iteration kernel
+  1. wave->mel featurizer throughput on the production XLA-rfft path
+     (what tools/etl.py --tpu calls). The fused Pallas STFT-mel kernel
+     that used to be A/B'd here was RETIRED in round 5 as a recorded
+     negative: 0.92x of XLA at frame_block 128 (0.915x at 256) on clean
+     device-resident medians, with Mosaic rejecting the 3-pass HIGH dot
+     precision that was the remaining lever — KERNELS_r05.json,
+     COMPONENTS.md.
+  2. Griffin-Lim: the fused VMEM-resident iteration kernel
      (kernels/griffin_lim.py) raw and at its production hybrid defaults
      (warm-start 4 + reflect-ext 6 + end-polish 2) vs the exact XLA-FFT
      fori_loop, with spectral convergence measured both directly and
@@ -102,12 +105,6 @@ def main() -> None:
     from adaptive_voice_conversion_tpu.core.config import SignalConfig
     from adaptive_voice_conversion_tpu.dsp.features import mel_from_wave_jax
     from adaptive_voice_conversion_tpu.dsp.mel import mel_filterbank
-    from adaptive_voice_conversion_tpu.dsp.stft import frame_signal_jax
-    from adaptive_voice_conversion_tpu.kernels.stft_mel import (
-        FRAME_BLOCK,
-        mel_from_wave_pallas,
-        stft_mel_pallas,
-    )
 
     cfg = SignalConfig()
     backend = jax.default_backend()
@@ -116,55 +113,11 @@ def main() -> None:
     rng = np.random.default_rng(0)
     wave = jnp.asarray(rng.standard_normal(n_samples).astype(np.float32))
 
-    # ---- frames-level: isolate the fused kernel ----
-    frames_raw = frame_signal_jax(wave, cfg.n_fft, cfg.hop_length)
-    t = frames_raw.shape[0]
-    t_pad = -(-t // FRAME_BLOCK) * FRAME_BLOCK
-    frames = jnp.pad(frames_raw, ((0, t_pad - t), (0, 0)))
-
-    pallas_frames = jax.jit(
-        lambda f: stft_mel_pallas(f, cfg, interpret=interpret)
-    )
-
-    mel_basis = jnp.asarray(mel_filterbank(cfg.sr, cfg.n_fft, cfg.n_mels))
-    from adaptive_voice_conversion_tpu.dsp.stft import hann_window
-
-    win = jnp.asarray(hann_window(cfg.win_length, cfg.n_fft))
-
-    @jax.jit
-    def xla_frames(f):
-        spec = jnp.fft.rfft(f * win[None, :], n=cfg.n_fft, axis=-1)
-        mag = jnp.abs(spec)  # (T, n_freq)
-        mel = mag @ mel_basis.T
-        mel = 20.0 * jnp.log10(jnp.maximum(1e-5, mel))
-        return jnp.clip((mel - cfg.ref_db + cfg.max_db) / cfg.max_db, 1e-8, 1.0)
-
-    _note(f"backend={backend} n_frames={t} compiling pallas frames kernel...")
-    mel_p = np.asarray(pallas_frames(frames))[:t]
-    _note("pallas frames kernel compiled+ran; compiling xla rfft...")
-    mel_x = np.asarray(xla_frames(frames))[:t]
-    frames_max_abs = float(np.max(np.abs(mel_p - mel_x)))
-    _note(f"frames-level max_abs_diff={frames_max_abs:.2e}; timing...")
-
-    tp_frames = _time(pallas_frames, frames)
-    _note(f"pallas frames {tp_frames}")
-    tx_frames = _time(xla_frames, frames)
-    _note(f"xla frames {tx_frames}")
-
     # ---- end-to-end wave->mel (the tools/etl.py --tpu call) ----
-    e2e_pallas = jax.jit(
-        lambda y: mel_from_wave_pallas(y, cfg, interpret=interpret)
-    )
     e2e_xla = jax.jit(lambda y: mel_from_wave_jax(y, cfg)[0])
-    _note("compiling e2e pallas...")
-    mel_pe = np.asarray(e2e_pallas(wave))
-    _note("compiling e2e xla...")
+    _note("compiling e2e xla featurizer...")
     mel_xe = np.asarray(e2e_xla(wave))
-    e2e_max_abs = float(np.max(np.abs(mel_pe - mel_xe)))
-    _note(f"e2e max_abs_diff={e2e_max_abs:.2e}; timing...")
-
-    tp_e2e = _time(e2e_pallas, wave)
-    _note(f"pallas e2e {tp_e2e}")
+    t = mel_xe.shape[0]
     tx_e2e = _time(e2e_xla, wave)
     _note(f"xla e2e {tx_e2e}")
 
@@ -286,8 +239,8 @@ def main() -> None:
 
     audio_s = n_samples / cfg.sr
     out = {
-        "metric": "stft_mel_kernel_audio_s_per_s",
-        "value": round(audio_s / (tp_e2e["ms"] / 1e3), 1),
+        "metric": "featurizer_xla_audio_s_per_s",
+        "value": round(audio_s / (tx_e2e["ms"] / 1e3), 1),
         "unit": "audio-s/s",
         "backend": backend,
         "interpret": interpret,
@@ -295,25 +248,12 @@ def main() -> None:
         "wave_audio_s": audio_s,
         "n_frames": int(t),
         "timing": f"median of {TRIALS} trials x {ITERS} iters, IQR reported",
-        "frames_level": {
-            "pallas_ms": round(tp_frames["ms"], 3),
-            "pallas_iqr_ms": round(tp_frames["iqr_ms"], 3),
-            "xla_rfft_ms": round(tx_frames["ms"], 3),
-            "xla_rfft_iqr_ms": round(tx_frames["iqr_ms"], 3),
-            "speedup_pallas_over_xla": round(
-                tx_frames["ms"] / tp_frames["ms"], 3
-            ),
-            "max_abs_diff": frames_max_abs,
-        },
-        "end_to_end": {
-            "pallas_ms": round(tp_e2e["ms"], 3),
-            "pallas_iqr_ms": round(tp_e2e["iqr_ms"], 3),
+        "featurizer": {
             "xla_rfft_ms": round(tx_e2e["ms"], 3),
             "xla_rfft_iqr_ms": round(tx_e2e["iqr_ms"], 3),
-            "speedup_pallas_over_xla": round(tx_e2e["ms"] / tp_e2e["ms"], 3),
-            "pallas_audio_s_per_s": round(audio_s / (tp_e2e["ms"] / 1e3), 1),
             "xla_audio_s_per_s": round(audio_s / (tx_e2e["ms"] / 1e3), 1),
-            "max_abs_diff": e2e_max_abs,
+            "note": "Pallas STFT-mel kernel retired round 5 "
+            "(0.92x of XLA; KERNELS_r05.json)",
         },
         "griffin_lim": gl,
         "griffin_lim_long": gl_long,

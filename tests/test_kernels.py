@@ -1,5 +1,11 @@
 """Pallas kernel tests (interpret mode on CPU; the compiled path is
-exercised on TPU by bench/verify runs)."""
+exercised on TPU by bench/verify runs).
+
+The fused STFT-mel featurizer kernel that lived alongside the Griffin-Lim
+kernel was retired in round 5 as a recorded negative (0.92x of the
+XLA-rfft path on clean device-resident medians; KERNELS_r05.json,
+COMPONENTS.md) — its tests left with it. The ETL featurizer's TPU path
+(XLA-rfft) keeps its own host-vs-TPU agreement test below."""
 
 import numpy as np
 import pytest
@@ -8,15 +14,6 @@ import jax.numpy as jnp
 
 from adaptive_voice_conversion_tpu.core.config import SignalConfig
 from adaptive_voice_conversion_tpu.dsp import mel_from_wave_jax, preemphasis
-from adaptive_voice_conversion_tpu.kernels import (
-    mel_from_wave_pallas,
-    stft_mel_pallas,
-)
-from adaptive_voice_conversion_tpu.kernels.stft_mel import (
-    FRAME_BLOCK,
-    _dft_mel_constants,
-    _frame_signal,
-)
 
 CFG = SignalConfig()
 
@@ -28,55 +25,9 @@ def make_wave(n=24000, seed=0):
     return preemphasis(y.astype(np.float32), CFG.preemphasis)
 
 
-def test_dft_constants_shapes():
-    wc, ws, mt, off = _dft_mel_constants(
-        CFG.sr, CFG.n_fft, CFG.win_length, CFG.n_mels
-    )
-    # window support: win_length=1200 centered in n_fft=2048 -> 1280-row
-    # contraction (rounded to 128 lanes) instead of 2048
-    assert wc.shape == ws.shape == (1280, 1280)
-    assert mt.shape == (1280, 512)
-    # pad columns carry zero mel weight
-    assert float(np.abs(mt[1025:]).max()) == 0.0
-    # dropped rows really are outside the window's support
-    from adaptive_voice_conversion_tpu.dsp.stft import hann_window
-
-    w = hann_window(CFG.win_length, CFG.n_fft)
-    assert float(np.abs(w[: off]).max() if off else 0.0) == 0.0
-    assert float(np.abs(w[off + 1280 :]).max()) == 0.0
-
-
-def test_frame_signal_matches_stft_framecount():
-    from adaptive_voice_conversion_tpu.dsp import frame_count
-
-    y = make_wave()
-    frames = _frame_signal(jnp.asarray(y), CFG)
-    assert frames.shape == (frame_count(len(y), CFG.n_fft, CFG.hop_length), CFG.n_fft)
-
-
-def test_mel_from_wave_pallas_matches_rfft_path():
-    y = make_wave()
-    mel_ref, _ = mel_from_wave_jax(jnp.asarray(y), CFG)
-    mel_k = mel_from_wave_pallas(jnp.asarray(y), CFG)
-    assert mel_k.shape == mel_ref.shape
-    np.testing.assert_allclose(np.asarray(mel_k), np.asarray(mel_ref), atol=5e-4)
-
-
-def test_mel_from_wave_pallas_batch_matches_rfft_path():
-    from adaptive_voice_conversion_tpu.kernels.stft_mel import (
-        mel_from_wave_pallas_batch,
-    )
-
-    y = np.stack([make_wave(seed=0), make_wave(seed=1)])
-    mel_ref, _ = mel_from_wave_jax(jnp.asarray(y), CFG)
-    mel_k = mel_from_wave_pallas_batch(jnp.asarray(y), CFG)
-    assert mel_k.shape == mel_ref.shape
-    np.testing.assert_allclose(np.asarray(mel_k), np.asarray(mel_ref), atol=5e-4)
-
-
-def test_etl_tpu_path_uses_kernel_and_matches_host():
-    """featurize_paths(use_tpu, use_kernel=True) in interpret mode agrees
-    with the host numpy featurizer (the production ETL wiring)."""
+def test_etl_tpu_path_matches_host():
+    """featurize_paths(use_tpu=True) — the XLA-rfft batched featurizer —
+    agrees with the host numpy featurizer (the production ETL wiring)."""
     import tempfile, os
     from adaptive_voice_conversion_tpu.tools.etl import featurize_paths
     from adaptive_voice_conversion_tpu.dsp.audio import save_wav
@@ -89,41 +40,9 @@ def test_etl_tpu_path_uses_kernel_and_matches_host():
         p = os.path.join(d, "a.wav")
         save_wav(p, wav, CFG.sr)
         host = featurize_paths([p], CFG, use_tpu=False)
-        kern = featurize_paths([p], CFG, use_tpu=True, use_kernel=True)
-    assert host["a.wav"].shape == kern["a.wav"].shape
-    np.testing.assert_allclose(kern["a.wav"], host["a.wav"], atol=5e-4)
-
-
-@pytest.mark.skipif(
-    jax.default_backend() != "tpu", reason="compiled-kernel smoke needs a TPU"
-)
-def test_stft_mel_pallas_compiled_on_tpu():
-    """Non-interpret smoke: the kernel compiles and matches XLA on silicon."""
-    y = make_wave()
-    mel_ref, _ = mel_from_wave_jax(jnp.asarray(y), CFG)
-    mel_k = mel_from_wave_pallas(jnp.asarray(y), CFG, interpret=False)
-    np.testing.assert_allclose(
-        np.asarray(mel_k), np.asarray(mel_ref), atol=1e-3
-    )
-
-
-def test_stft_mel_pallas_block_padding_is_inert():
-    """Zero-pad frames to the block multiple: padded rows produce the dB
-    floor, and real rows are unaffected."""
-    y = make_wave(12000)
-    frames = _frame_signal(jnp.asarray(y), CFG)
-    t = frames.shape[0]
-    t_pad = -(-t // FRAME_BLOCK) * FRAME_BLOCK
-    fp = jnp.pad(frames, ((0, t_pad - t), (0, 0)))
-    mel = stft_mel_pallas(fp, CFG)
-    mel_ref, _ = mel_from_wave_jax(jnp.asarray(y), CFG)
-    np.testing.assert_allclose(np.asarray(mel[:t]), np.asarray(mel_ref), atol=5e-4)
-    # padded frames: all-zero signal -> dB floor after normalization
-    floor = (20 * np.log10(1e-5) - CFG.ref_db + CFG.max_db) / CFG.max_db
-    np.testing.assert_allclose(
-        np.asarray(mel[t:]), np.full((t_pad - t, CFG.n_mels), max(floor, 1e-8)),
-        atol=1e-6,
-    )
+        tpu = featurize_paths([p], CFG, use_tpu=True)
+    assert host["a.wav"].shape == tpu["a.wav"].shape
+    np.testing.assert_allclose(tpu["a.wav"], host["a.wav"], atol=5e-4)
 
 
 def test_griffin_lim_pallas_quality_tracks_xla():

@@ -10,6 +10,8 @@ per-module activation agreement plus the converted-mel north-star gate
 inference.py:62-93 / model.py:373-395.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -35,10 +37,30 @@ ATOL = 1e-4
 RTOL = 1e-4
 
 
-@pytest.fixture(scope="module")
-def full_scale():
-    """Reference AE (full config, seeded init) + converted JAX params."""
-    ae, raw = build_reference_ae(seed=7)
+TRAINED_CKPT = os.path.join(
+    os.path.dirname(__file__), "golden", "trained_reference.ckpt"
+)
+
+
+@pytest.fixture(scope="module", params=["init", "trained"])
+def full_scale(request):
+    """Reference AE (full config) + converted JAX params, at BOTH weight
+    regimes: seeded default init AND weights trained by the reference's
+    own trainer (tools/train_reference_weights.py — round-4 verdict item
+    1: trained weights have saturated INs / large AdaIN affines, exactly
+    where eps/edge semantics bite; init-only parity misses that regime).
+    The trained fixture (~36 MB, deterministic to regenerate) is not
+    committed; the battery skips that half when it is absent."""
+    if request.param == "trained":
+        if not os.path.exists(TRAINED_CKPT):
+            pytest.skip(
+                "trained_reference.ckpt absent — generate with "
+                "python -m adaptive_voice_conversion_tpu.tools."
+                "train_reference_weights"
+            )
+        ae, raw = build_reference_ae(seed=7, ckpt_path=TRAINED_CKPT)
+    else:
+        ae, raw = build_reference_ae(seed=7)
     cfg = config_from_dict(raw).model
     params = torch_state_dict_to_params(ae.state_dict(), cfg)
     return ae, cfg, params
@@ -121,6 +143,27 @@ def test_converted_mel_allclose_utterance_shape(full_scale):
         ref = ae.inference(st, tt).numpy()
     got = np.asarray(ae_inference(params, cfg, sj, tj)).transpose(0, 2, 1)
     assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=ATOL, rtol=RTOL)
+
+
+def test_converted_mel_realistic_inputs(full_scale):
+    """North-star gate on REALISTIC mel-statistics inputs (z-normalized
+    structured segments like training data) — random-normal probes don't
+    drive trained INs/AdaINs through their operating range; this does."""
+    from adaptive_voice_conversion_tpu.tools.loss_trajectory import (
+        synthetic_segments,
+    )
+
+    ae, cfg, params = full_scale
+    pool = synthetic_segments(4, 200, 512, seed=11)
+    pool = (pool - pool.mean()) / max(pool.std(), 1e-6)
+    st = torch.from_numpy(pool[:2].transpose(0, 2, 1))
+    tt = torch.from_numpy(pool[2:].transpose(0, 2, 1))
+    with torch.no_grad():
+        ref = ae.inference(st, tt).numpy()
+    got = np.asarray(
+        ae_inference(params, cfg, jnp.asarray(pool[:2]), jnp.asarray(pool[2:]))
+    ).transpose(0, 2, 1)
     np.testing.assert_allclose(got, ref, atol=ATOL, rtol=RTOL)
 
 
