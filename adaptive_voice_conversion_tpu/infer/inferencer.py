@@ -200,9 +200,20 @@ class Inferencer:
         dec = self.convert_mel(src_mel, tar_mel)
         dec = self.denormalize(dec)
         if self.use_tpu_vocoder:
-            wav = melspectrogram2wav_jax(
-                jnp.asarray(dec), self.config.signal, gl_method=self.gl_method
-            )
+            # the single-utterance vocode path honors the precision knob
+            # too (the batched _jit_vocode programs are wrapped at trace
+            # time; this one runs under the config scope at call time)
+            if self.precision is not None:
+                with jax.default_matmul_precision(self.precision):
+                    wav = melspectrogram2wav_jax(
+                        jnp.asarray(dec), self.config.signal,
+                        gl_method=self.gl_method,
+                    )
+            else:
+                wav = melspectrogram2wav_jax(
+                    jnp.asarray(dec), self.config.signal,
+                    gl_method=self.gl_method,
+                )
         else:
             wav = melspectrogram2wav(dec, self.config.signal)
         return wav, dec
