@@ -111,7 +111,11 @@ def main(argv=None) -> None:
                 solver.train(n_iterations=remaining)
         else:
             solver.train(n_iterations=args.iters)
-    if args.eval_set:
+    # post-training eval — skipped when an in-training cadence ran, since
+    # the cadence's "or it == end" arm already evaluated the final weights
+    # (doubling it would re-run 20 eval batches + an audio sample for
+    # nothing)
+    if args.eval_set and not (args.eval_steps and args.iters > 0):
         idx = args.eval_index_file or f"{args.eval_set}_samples_{config.data_loader.segment_size}.json"
         metrics = solver.evaluate(args.eval_set, idx)
         print("\neval", args.eval_set, json.dumps(metrics))

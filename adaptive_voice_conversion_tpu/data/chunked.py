@@ -145,8 +145,7 @@ class ChunkedDeviceStreamer:
     # -- bandwidth adaptation -----------------------------------------------
 
     def chunk_nbytes(self) -> int:
-        itemsize = 2 if self.packed.dtype != np.float32 else 4
-        return self.R * self.packed.shape[1] * itemsize
+        return self.R * self.packed.shape[1] * self.packed.dtype.itemsize
 
     def required_bandwidth(
         self, t_step_s: float, repeats: Optional[int] = None

@@ -203,13 +203,14 @@ class Inferencer:
             # the single-utterance vocode path honors the precision knob
             # too (the batched _jit_vocode programs are wrapped at trace
             # time; this one runs under the config scope at call time)
-            if self.precision is not None:
-                with jax.default_matmul_precision(self.precision):
-                    wav = melspectrogram2wav_jax(
-                        jnp.asarray(dec), self.config.signal,
-                        gl_method=self.gl_method,
-                    )
-            else:
+            import contextlib
+
+            scope = (
+                jax.default_matmul_precision(self.precision)
+                if self.precision is not None
+                else contextlib.nullcontext()
+            )
+            with scope:
                 wav = melspectrogram2wav_jax(
                     jnp.asarray(dec), self.config.signal,
                     gl_method=self.gl_method,

@@ -232,7 +232,11 @@ class Solver:
         return cache[key]
 
     def evaluate(
-        self, eval_set: str, eval_index_file: str, max_batches: int = 20
+        self,
+        eval_set: str,
+        eval_index_file: str,
+        max_batches: int = 20,
+        iteration: Optional[int] = None,
     ) -> dict:
         """Deterministic held-out loss on an in_test/out_test split.
 
@@ -245,8 +249,13 @@ class Solver:
         from ..data.loader import as_wire_format
 
         n = min(max_batches, len(ds) // c.data_loader.batch_size)
+        # lambda at the CURRENT training step — in-training eval hooks pass
+        # their step explicitly (self.iteration only advances when train()
+        # returns, so reading it mid-run would pin lambda at the run-start
+        # annealing point and make the eval-loss series inconsistent)
+        it = self.iteration if iteration is None else iteration
         lam = np.float32(
-            kl_lambda(self.iteration, c.loss.lambda_kl, c.annealing_iters)
+            kl_lambda(it, c.loss.lambda_kl, c.annealing_iters)
         )
         sums = None
         rng = np.random.default_rng(0)
@@ -275,7 +284,9 @@ class Solver:
         idx = a.eval_index_file or (
             f"{a.eval_set}_samples_{c.data_loader.segment_size}.json"
         )
-        m = self.evaluate(a.eval_set, idx, max_batches=a.eval_max_batches)
+        m = self.evaluate(
+            a.eval_set, idx, max_batches=a.eval_max_batches, iteration=it
+        )
         self.logger.scalars_summary(f"{a.tag}/ae_eval_{a.eval_set}", m, it)
         if a.eval_audio:
             self._emit_audio_sample(it, a.eval_set, idx)
@@ -299,30 +310,36 @@ class Solver:
             from ..models.ae import ae_inference
 
             n_iter = self.args.eval_audio_gl_iters
+            # attr denormalization must happen BEFORE mel_to_mag: the
+            # dB-inversion/clip expects the (0,1] normalized-mel space,
+            # and training data is z-normalized with attr.pkl stats (same
+            # order as Inferencer.inference_one_utterance / _get_vocode)
+            attr_path = os.path.join(self.args.data_dir, "attr.pkl")
+            if os.path.exists(attr_path):
+                import pickle
+
+                with open(attr_path, "rb") as f:
+                    attr = pickle.load(f)
+                mean = jnp.asarray(attr["mean"], jnp.float32)
+                std = jnp.asarray(attr["std"], jnp.float32)
+            else:
+                mean = jnp.zeros((c.signal.n_mels,), jnp.float32)
+                std = jnp.ones((c.signal.n_mels,), jnp.float32)
 
             def _convert(p, x, xc):
-                dec = ae_inference(p, c.model, x, xc)[0]
+                dec = ae_inference(p, c.model, x, xc)[0] * std + mean
                 mag = mel_to_mag_jax(dec, c.signal)
-                return dec, deemphasis_jax(
+                return deemphasis_jax(
                     griffin_lim_jax(mag, c.signal, n_iter=n_iter),
                     c.signal.preemphasis,
                 )
 
             self._audio_fns = jax.jit(_convert)
-            attr_path = os.path.join(self.args.data_dir, "attr.pkl")
-            self._audio_attr = None
-            if os.path.exists(attr_path):
-                import pickle
-
-                with open(attr_path, "rb") as f:
-                    self._audio_attr = pickle.load(f)
         sub = int(np.prod(c.model.content_encoder.subsample))
         pad = lambda m: np.pad(m, ((0, (-m.shape[0]) % sub), (0, 0)))[None]
-        dec, wav = self._audio_fns(
+        wav = self._audio_fns(
             self.params, jnp.asarray(pad(src)), jnp.asarray(tar[None])
         )
-        if self._audio_attr is not None:
-            dec = np.asarray(dec) * self._audio_attr["std"] + self._audio_attr["mean"]
         wav = np.asarray(wav, np.float32)
         peak = np.abs(wav).max()
         if peak > 0:
@@ -369,6 +386,11 @@ class Solver:
         if self._chunk_repeats_resolved is not None:
             self.chunked.set_repeats(self._chunk_repeats_resolved)
             return
+        # warm once (multi-process put_chunk jits a reshard program, and
+        # first-touch device allocation is slow either way), then time a
+        # second transfer so bw measures the LINK, not compile time
+        packed, starts, n_starts = self.chunked.put_chunk(0)
+        jax.block_until_ready(packed)
         t0 = _time.time()
         packed, starts, n_starts = self.chunked.put_chunk(0)
         jax.block_until_ready(packed)

@@ -343,7 +343,15 @@ def main() -> None:
         for r in repeat_modes:
             trials[r].append(run_chunked(r, trial_steps))
     med_dt = {r: float(np.median(ts)) for r, ts in trials.items()}
+    # the solver's auto logic can pick a repeats value outside the measured
+    # modes (e.g. 16 in a starved hour); the headline then uses the largest
+    # measured mode and the artifact records BOTH values — no silent clamp
     auto_r_eff = auto_r if auto_r in med_dt else max(repeat_modes)
+    if auto_r_eff != auto_r:
+        _note(
+            f"auto choice repeats={auto_r} not among measured modes "
+            f"{sorted(med_dt)}; headline uses repeats={auto_r_eff}"
+        )
     chunked_dt = med_dt[auto_r_eff]
     del big_packed
     chunked_value = audio_s_per_batch / chunked_dt
@@ -381,6 +389,7 @@ def main() -> None:
         "chunked_2xHBM_audio_s_per_s": round(chunked_value, 1),
         "chunked_vs_headline": round(chunked_value / value, 3),
         "chunked_auto_repeats": auto_r_eff,
+        "chunked_auto_repeats_chosen": auto_r,
         "chunked_per_repeats_audio_s_per_s": {
             f"repeats{r}": round(audio_s_per_batch / dt, 1)
             for r, dt in med_dt.items()

@@ -124,6 +124,14 @@ def test_in_training_eval_and_audio(data_dir, tmp_path):
     }
     with open(data_dir / "in_test.pkl", "wb") as f:
         pickle.dump(eval_data, f)
+    # non-trivial attr stats: the audio sample must denormalize BEFORE
+    # vocoding (z-space mels clip to silence in mel_to_mag otherwise)
+    attr = {
+        "mean": np.full(N_MELS, 0.4, np.float32),
+        "std": np.full(N_MELS, 0.2, np.float32),
+    }
+    with open(data_dir / "attr.pkl", "wb") as f:
+        pickle.dump(attr, f)
     # the real pipeline stage-3 tool writes the index (and its name is the
     # solver's default: {eval_set}_samples_{segment_size}.json)
     sample_single_segments.main([
@@ -159,6 +167,16 @@ def test_in_training_eval_and_audio(data_dir, tmp_path):
     assert audio_rows, "expected an audio_summary emission per eval"
     n = [v for k, v in audio_rows[0].items() if "audio_n_samples" in k][0]
     assert n > 1000  # a real waveform, not an empty stub
+    # the wav fallback file (tensorboardX absent or not) or TB event was
+    # produced from DENORMALIZED mels — spot-check via the jitted convert:
+    # the solver's audio fn must exist and produce finite, non-silent audio
+    wav = solver._audio_fns(
+        solver.params,
+        np.zeros((1, 16, N_MELS), np.float32),
+        np.zeros((1, 16, N_MELS), np.float32),
+    )
+    wav = np.asarray(wav)
+    assert np.isfinite(wav).all() and np.abs(wav).max() > 0
 
 
 def test_solver_zero_iterations(data_dir):
