@@ -12,4 +12,9 @@ python3 -m adaptive_voice_conversion_tpu.cli.train \
     -t vctk_model \
     -iters 500000 \
     -summary_steps 500 \
+    -eval_set in_test \
+    -eval_steps 5000 \
     --compute_dtype bfloat16
+# -eval_steps: held-out eval + one converted audio sample in TB every 5k
+# steps (the reference produced in_test/out_test splits but never consumed
+# them — SURVEY.md §4)
