@@ -150,6 +150,10 @@ def test_in_training_eval_and_audio(data_dir, tmp_path):
         # eval fires on fused-chunk boundaries (like summaries/ckpts), so
         # align inner_steps with the cadence to get one eval per 5 steps
         inner_steps=5,
+        # short anneal so successive evals see DIFFERENT lambda_KL values
+        # (pins that in-training eval uses the current step's lambda, not
+        # the stale run-start iteration)
+        annealing_iters=8,
     )
     args = make_args(data_dir, eval_steps=5, eval_set="in_test")
     args.eval_audio_gl_iters = 2
@@ -163,6 +167,17 @@ def test_in_training_eval_and_audio(data_dir, tmp_path):
         np.isfinite(v)
         for l in eval_rows for k, v in l.items() if "loss" in k
     )
+    # lambda_KL must track the CURRENT step: loss = 10*rec + lam*kl, so the
+    # implied lam of the first eval (step 4, lam=5/8) differs from the
+    # second (step 9, lam=1.0 — anneal done)
+    def implied_lam(row):
+        g = lambda suffix: [v for k, v in row.items() if k.endswith(suffix)][0]
+        kl = g("loss_kl")
+        return (g("loss") - 10.0 * g("loss_rec")) / max(kl, 1e-9)
+
+    lam0, lam1 = implied_lam(eval_rows[0]), implied_lam(eval_rows[1])
+    assert lam0 == pytest.approx(5.0 / 8.0, rel=1e-3), lam0
+    assert lam1 == pytest.approx(1.0, rel=1e-3), lam1
     audio_rows = [l for l in lines if any("audio_n_samples" in k for k in l)]
     assert audio_rows, "expected an audio_summary emission per eval"
     n = [v for k, v in audio_rows[0].items() if "audio_n_samples" in k][0]
