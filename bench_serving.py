@@ -246,6 +246,71 @@ def main(argv=None) -> None:
         "quality": quality_vs_ref(mels_hi),
     }
 
+    # ---- production-scale grid: 8x16 = 128 mixed-length pairs ----
+    # Larger grids amortize per-call fixed cost and fill the MXU better;
+    # this block records the conv/s scaling headroom AND where the
+    # precision="highest" cost starts to appear once the batch is big
+    # enough for matmul pass count to matter.
+    n_src_l, n_tgt_l = 8, 16
+    src_l = [
+        rng.standard_normal((96 + 5 * i, 512)).astype(np.float32)
+        for i in range(n_src_l)
+    ]
+    tgt_l = [
+        rng.standard_normal((88 + 4 * i, 512)).astype(np.float32)
+        for i in range(n_tgt_l)
+    ]
+    sub_l = int(np.prod(cfg.model.content_encoder.subsample))
+    sl_list = [m.shape[0] for m in src_l]
+    tl_list = [m.shape[0] for m in tgt_l]
+    ts_l = -(-max(sl_list) // sub_l) * sub_l
+    tt_l = max(tl_list)
+    src_bl = jnp.repeat(
+        jnp.asarray(np.stack(
+            [np.pad(s, ((0, ts_l - s.shape[0]), (0, 0))) for s in src_l]
+        )), n_tgt_l, axis=0,
+    )
+    tar_bl = jnp.tile(
+        jnp.asarray(np.stack(
+            [np.pad(t, ((0, tt_l - t.shape[0]), (0, 0))) for t in tgt_l]
+        )), (n_src_l, 1, 1),
+    )
+    sl_bl = jnp.repeat(jnp.asarray(np.array(sl_list, np.int32)), n_tgt_l)
+    tl_bl = jnp.tile(jnp.asarray(np.array(tl_list, np.int32)), (n_src_l,))
+    n_conv_l = n_src_l * n_tgt_l
+
+    def compute_only_large(engine, gl_method):
+        engine.convert_grid(src_l[:1], tgt_l[:1])  # ensure programs exist
+        vocode = engine._get_vocode(gl_method or engine.gl_method, None, False)
+        mfn = engine._get_masked_jit()
+        dec, dec_lens = mfn(engine.params, src_bl, sl_bl, tar_bl, tl_bl)
+        w = vocode(dec, dec_lens)
+        np.asarray(w[0, 0])
+        ts_ = []
+        for _ in range(reps):
+            t0 = time.time()
+            dec, dec_lens = mfn(engine.params, src_bl, sl_bl, tar_bl, tl_bl)
+            w = vocode(dec, dec_lens)
+            np.asarray(w[0, 0])
+            ts_.append(time.time() - t0)
+        return float(np.median(ts_))
+
+    dt_l = compute_only_large(inf, None)
+    dt_l_pallas = compute_only_large(inf, "pallas")
+    dt_l_hi = compute_only_large(inf_hi, None)
+    large_grid = {
+        "grid": f"{n_src_l}x{n_tgt_l} mixed-len ({n_conv_l} pairs)",
+        "conversions_per_sec_compute_only": round(n_conv_l / dt_l, 2),
+        "pallas_gl_conversions_per_sec_compute_only": round(
+            n_conv_l / dt_l_pallas, 2
+        ),
+        "precision_highest_conversions_per_sec_compute_only": round(
+            n_conv_l / dt_l_hi, 2
+        ),
+        "highest_cost_vs_default": round(dt_l_hi / dt_l, 3),
+        "scaling_vs_32pair_grid": round((n_conv_l / dt_l) / (n_conv / dt_c), 2),
+    }
+
     # ---- uniform grid (round-3-comparable): all sources/targets seg-128;
     # convert_grid auto-specializes to the unmasked model + plain GL,
     # which are per-sample-exact when padding is empty ----
@@ -294,6 +359,7 @@ def main(argv=None) -> None:
                 "pallas_gl_speedup": round(dt / dt_p, 2),
                 "compute_only": compute,
                 "precision_highest": precision_highest,
+                "large_grid": large_grid,
                 "uniform_grid": uniform,
                 "quality": quality,
                 "device": str(jax.devices()[0]),
