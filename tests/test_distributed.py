@@ -12,6 +12,7 @@ from adaptive_voice_conversion_tpu.core.mesh import (
     batch_sharding,
     local_batch_size,
     make_mesh,
+    put_global_from_full,
     replicated_sharding,
 )
 from adaptive_voice_conversion_tpu.models import init_ae
@@ -62,6 +63,22 @@ def test_sharded_step_matches_single_device(mesh8):
     l8 = jax.tree_util.tree_leaves(p8)
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_put_global_from_full_places_and_shards(mesh8):
+    """put_global_from_full (the multi-controller serving input path):
+    single-process it must equal a plain sharded device_put — same values,
+    batch axis actually sharded over 'data', non-divisible and int inputs
+    included."""
+    rng = np.random.default_rng(0)
+    for shape, dtype in [((16, 5, 3), np.float32), ((16,), np.int32)]:
+        full = (rng.standard_normal(shape) * 10).astype(dtype)
+        got = put_global_from_full(full, mesh8, P("data"))
+        ref = jax.device_put(full, NamedSharding(mesh8, P("data")))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        assert got.sharding.spec == P("data")
+        assert len(got.addressable_shards) == 8
+        assert got.addressable_shards[0].data.shape[0] == shape[0] // 8
 
 
 def test_batch_is_actually_sharded(mesh8):
