@@ -167,6 +167,46 @@ def test_converted_mel_realistic_inputs(full_scale):
     np.testing.assert_allclose(got, ref, atol=ATOL, rtol=RTOL)
 
 
+def test_inferencer_from_torch_checkpoint_user_journey():
+    """The migration path a reference user actually takes: point
+    Inferencer.from_torch_checkpoint at a torch .ckpt file (here the
+    trained fixture standing in for vctk_model.ckpt) and convert — the
+    result must match the reference's own AE.inference on the same file."""
+    if not os.path.exists(TRAINED_CKPT):
+        pytest.skip("trained_reference.ckpt absent")
+    import pickle
+    import tempfile
+
+    from adaptive_voice_conversion_tpu.core.config import config_from_dict
+    from adaptive_voice_conversion_tpu.infer.inferencer import Inferencer
+    from adaptive_voice_conversion_tpu.models.reference_oracle import (
+        load_reference_config,
+    )
+
+    raw = load_reference_config()
+    cfg = config_from_dict(raw)
+    attr = {
+        "mean": np.full(512, 0.3, np.float32),
+        "std": np.full(512, 0.5, np.float32),
+    }
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+        pickle.dump(attr, f)
+        attr_path = f.name
+    inf = Inferencer.from_torch_checkpoint(cfg, TRAINED_CKPT, attr_path)
+
+    ae, _ = build_reference_ae(seed=7, ckpt_path=TRAINED_CKPT)
+    rng = np.random.RandomState(21)
+    src = rng.randn(200, 512).astype(np.float32)
+    tar = rng.randn(144, 512).astype(np.float32)
+    got = inf.convert_mel(src, tar)  # (T', 512) channels-last
+    with torch.no_grad():
+        ref = ae.inference(
+            torch.from_numpy(src.T[None]), torch.from_numpy(tar.T[None])
+        )[0].numpy().T
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=ATOL, rtol=RTOL)
+
+
 def test_speaker_embeddings_entrypoint(full_scale):
     """model.py:393-395 get_speaker_embeddings parity on a long utterance."""
     ae, cfg, params = full_scale
