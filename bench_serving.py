@@ -182,6 +182,23 @@ def main(argv=None) -> None:
         jnp.asarray(np.array([t.shape[0] for t in tgts], np.int32)), (n_src,)
     )
 
+    # One synchronized call through the axon tunnel costs a ~30 ms round
+    # trip REGARDLESS of compute (measured below); a timed region with one
+    # dispatch per sync would fold that into "compute". Each timed sample
+    # therefore queues INNER_CHAIN async dispatches and syncs once — the
+    # RTT amortizes to ~30/INNER_CHAIN ms and the measured rate approaches
+    # true device throughput (production PCIe hosts have ~0 RTT, so the
+    # quoted compute-only figures remain lower bounds there).
+    INNER_CHAIN = 5
+    _rtt_probe = jax.jit(lambda x: x + 1.0)
+    np.asarray(_rtt_probe(jnp.zeros((8,)))[0])
+    _rtt_ts = []
+    for _ in range(11):
+        t0 = time.time()
+        np.asarray(_rtt_probe(jnp.zeros((8,)))[0])
+        _rtt_ts.append(time.time() - t0)
+    dispatch_rtt_ms = float(np.median(_rtt_ts) * 1e3)
+
     def compute_only(gl_method, engine=None):
         engine = engine or inf
         vocode = engine._jit_vocode[(gl_method or engine.gl_method, None, False)]
@@ -193,12 +210,13 @@ def main(argv=None) -> None:
         ts_ = []
         for _ in range(reps):
             t0 = time.time()
-            dec, dec_lens = engine._jit_inference_masked(
-                engine.params, src_b, sl_b, tar_b, tl_b
-            )
-            w = vocode(dec, dec_lens)
+            for _ in range(INNER_CHAIN):
+                dec, dec_lens = engine._jit_inference_masked(
+                    engine.params, src_b, sl_b, tar_b, tl_b
+                )
+                w = vocode(dec, dec_lens)
             np.asarray(w[0, 0])
-            ts_.append(time.time() - t0)
+            ts_.append((time.time() - t0) / INNER_CHAIN)
         full = vocode(dec, dec_lens)
         t0 = time.time()
         np.asarray(full)
@@ -208,6 +226,11 @@ def main(argv=None) -> None:
     compute = {
         "conversions_per_sec_compute_only": round(n_conv / dt_c, 2),
         "d2h_wav_ms": round(d2h_s * 1e3, 1),
+        "dispatch_rtt_ms": round(dispatch_rtt_ms, 1),
+        "timing": f"{INNER_CHAIN} chained async dispatches per sync — the "
+        "~30 ms tunnel round trip amortizes out of the timed region "
+        "(rounds <=5 paid one full RTT per iteration, understating the "
+        "fast modes)",
     }
 
     # fast vocoder: fused Pallas GL kernel (hybrid schedule — spectral
@@ -289,10 +312,13 @@ def main(argv=None) -> None:
         ts_ = []
         for _ in range(reps):
             t0 = time.time()
-            dec, dec_lens = mfn(engine.params, src_bl, sl_bl, tar_bl, tl_bl)
-            w = vocode(dec, dec_lens)
+            for _ in range(INNER_CHAIN):
+                dec, dec_lens = mfn(
+                    engine.params, src_bl, sl_bl, tar_bl, tl_bl
+                )
+                w = vocode(dec, dec_lens)
             np.asarray(w[0, 0])
-            ts_.append(time.time() - t0)
+            ts_.append((time.time() - t0) / INNER_CHAIN)
         return float(np.median(ts_))
 
     dt_l = compute_only_large(inf, None)
